@@ -1,0 +1,245 @@
+"""Configuration for the TPU-native two-stage music-synthesis framework.
+
+Frozen dataclasses, one per subsystem, plus named presets mirroring the five
+judged BASELINE configs (BASELINE.json:6-12, SURVEY.md §5.6).
+
+Reference-parity note (SURVEY.md §0): the reference mount was empty, so every
+hyperparameter that is a *recollection* rather than a spec item is a plain
+config knob here — re-verifying against the real reference is a config change,
+not a rewrite (SURVEY.md §7 "Hard parts" #6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Audio feature front-end: framing -> STFT -> mel -> log.
+
+    Spec: 22.05 kHz, n_fft=1024, hop=256 (BASELINE.json:7, SURVEY.md C2-C5).
+    """
+
+    sample_rate: int = 22_050
+    n_fft: int = 1024
+    win_length: int = 1024
+    hop_length: int = 256
+    n_mels: int = 128
+    fmin: float = 0.0
+    fmax: float | None = None  # None -> sr / 2
+    power: float = 2.0  # 2.0 = power spectrogram, 1.0 = magnitude
+    log_epsilon: float = 1e-5
+    center: bool = False  # vocoder conditioning uses same-pad framing instead
+    # Padding applied before framing so that n_frames == n_samples // hop.
+    # (n_fft - hop) // 2 on each side, reflect mode.
+    pad_mode: str = "reflect"
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def fmax_resolved(self) -> float:
+        return self.fmax if self.fmax is not None else self.sample_rate / 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MelScaler:
+    """Affine map between log-mel space and the GAN's [-1, 1] working range.
+
+    normalize(x) = (x - shift) / scale ; denormalize is the inverse.
+    Defaults chosen for log(1e-5 + power-mel) of unit-scale audio.
+    """
+
+    shift: float = -5.0
+    scale: float = 7.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecGANConfig:
+    """Stage-1 low-resolution spectrogram generator + discriminator (C6, C7)."""
+
+    latent_dim: int = 128
+    n_mels: int = 128
+    n_frames: int = 128  # generated patch length in frames (~1.5 s @ hop 256)
+    base_channels: int = 512
+    upsample_factors: Tuple[int, ...] = (4, 2, 2)  # 8 -> 16 -> ... -> n_frames
+    initial_frames: int = 8  # n_frames // prod(upsample_factors)
+    res_dilations: Tuple[int, ...] = (1, 3)
+    disc_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    disc_kernel: int = 5
+    disc_strides: Tuple[int, ...] = (2, 2, 2, 2)
+    leaky_slope: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class VocoderConfig:
+    """Stage-2 MelGAN-style conditioned vocoder (C8, SURVEY.md §2 / P:5-9).
+
+    Total upsampling = prod(upsample_factors) must equal the front-end hop.
+    """
+
+    n_mels: int = 128
+    base_channels: int = 512
+    upsample_factors: Tuple[int, ...] = (8, 8, 2, 2)  # 8*8*2*2 = 256 = hop
+    res_dilations: Tuple[int, ...] = (1, 3, 9)
+    input_kernel: int = 7
+    output_kernel: int = 7
+    res_kernel: int = 3
+    leaky_slope: float = 0.2
+    use_weight_norm: bool = True
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for u in self.upsample_factors:
+            out *= u
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class MSDConfig:
+    """Multi-scale raw-audio discriminators (C9): K scales of strided convs."""
+
+    n_scales: int = 3
+    downsample_factor: int = 2  # avg-pool between scales
+    channels: Tuple[int, ...] = (16, 64, 256, 1024, 1024)
+    kernel: int = 41
+    strides: Tuple[int, ...] = (4, 4, 4, 4)
+    groups: Tuple[int, ...] = (4, 16, 64, 256)
+    input_kernel: int = 15
+    post_kernel: int = 5
+    output_kernel: int = 3
+    leaky_slope: float = 0.2
+    use_weight_norm: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MRDConfig:
+    """Multi-resolution STFT discriminators (C10): 2-D convs on log|STFT|."""
+
+    resolutions: Tuple[Tuple[int, int, int], ...] = (
+        # (n_fft, hop, win_length)
+        (512, 128, 512),
+        (1024, 256, 1024),
+        (2048, 512, 2048),
+    )
+    channels: int = 32
+    leaky_slope: float = 0.2
+    use_weight_norm: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class STFTLossConfig:
+    """Multi-resolution STFT distance (C13) — also the judged parity metric."""
+
+    resolutions: Tuple[Tuple[int, int, int], ...] = (
+        (512, 128, 512),
+        (1024, 256, 1024),
+        (2048, 512, 2048),
+    )
+    eps: float = 1e-7
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """GAN training orchestration (C14-C16)."""
+
+    batch_size: int = 16
+    segment_length: int = 8192  # samples per training segment (32 frames)
+    g_lr: float = 1e-4
+    d_lr: float = 1e-4
+    adam_b1: float = 0.5
+    adam_b2: float = 0.9
+    lambda_feature_matching: float = 10.0
+    lambda_stft: float = 2.5
+    seed: int = 0
+    checkpoint_every: int = 1000
+    log_every: int = 50
+    # distribution
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclasses.dataclass(frozen=True)
+class InferConfig:
+    """Fused two-stage inference (C17, C18)."""
+
+    chunk_frames: int = 64  # mel frames per vocoder chunk
+    hop_frames: int = 48  # chunk advance; overlap = chunk - hop frames
+    batch_chunks: bool = True  # vocode all chunks as one batch
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Everything bundled — one object describes a full experiment."""
+
+    frontend: FrontendConfig = FrontendConfig()
+    mel_scaler: MelScaler = MelScaler()
+    specgan: SpecGANConfig = SpecGANConfig()
+    vocoder: VocoderConfig = VocoderConfig()
+    msd: MSDConfig = MSDConfig()
+    mrd: MRDConfig = MRDConfig()
+    stft_loss: STFTLossConfig = STFTLossConfig()
+    train: TrainConfig = TrainConfig()
+    infer: InferConfig = InferConfig()
+
+
+# ---------------------------------------------------------------------------
+# Named presets for the five judged BASELINE configs (BASELINE.json:6-12).
+# ---------------------------------------------------------------------------
+
+#: Config 1 — log-mel extraction of one 22.05 kHz clip on CPU.
+FRONTEND_CPU_CLIP = PipelineConfig()
+
+#: Config 2 — stage-1 spectrogram generator forward+loss, single batch.
+STAGE1_SINGLE_BATCH = PipelineConfig(train=TrainConfig(batch_size=16))
+
+#: Config 3 — stage-2 vocoder GAN training, single device.
+STAGE2_VOCODER_TRAIN = PipelineConfig(train=TrainConfig(batch_size=16))
+
+#: Config 4 — two-stage end-to-end inference with overlap-add.
+E2E_INFERENCE = PipelineConfig()
+
+#: Config 5 — data-parallel two-stage training on a v5e-8 mesh.
+DP_V5E8_TRAIN = PipelineConfig(
+    train=TrainConfig(batch_size=64, mesh_shape=(8,), mesh_axes=("data",))
+)
+
+#: Tiny preset for unit tests and the multichip dry-run (fast on 1 CPU core).
+TINY = PipelineConfig(
+    frontend=FrontendConfig(n_mels=32),
+    specgan=SpecGANConfig(
+        latent_dim=16,
+        n_mels=32,
+        n_frames=32,
+        base_channels=32,
+        upsample_factors=(2, 2),
+        initial_frames=8,
+        res_dilations=(1,),
+        disc_channels=(16, 16),
+        disc_strides=(2, 2),
+    ),
+    vocoder=VocoderConfig(
+        n_mels=32,
+        base_channels=32,
+        upsample_factors=(8, 8, 2, 2),
+        res_dilations=(1, 3),
+    ),
+    msd=MSDConfig(
+        n_scales=2,
+        channels=(4, 8, 8),
+        kernel=11,
+        strides=(4, 4),
+        groups=(2, 2),
+        input_kernel=7,
+        post_kernel=5,
+        output_kernel=3,
+    ),
+    mrd=MRDConfig(resolutions=((256, 64, 256),), channels=4),
+    stft_loss=STFTLossConfig(resolutions=((256, 64, 256), (512, 128, 512))),
+    train=TrainConfig(batch_size=2, segment_length=2048),
+    infer=InferConfig(chunk_frames=16, hop_frames=12),
+)
