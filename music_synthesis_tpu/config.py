@@ -168,7 +168,7 @@ class InferConfig:
     """Fused two-stage inference (C17, C18)."""
 
     chunk_frames: int = 64  # mel frames per vocoder chunk
-    hop_frames: int = 48  # chunk advance; overlap = chunk - hop frames
+    hop_frames: int = 32  # chunk advance; overlap = chunk - hop frames
     batch_chunks: bool = True  # vocode all chunks as one batch
 
 
@@ -241,5 +241,5 @@ TINY = PipelineConfig(
     mrd=MRDConfig(resolutions=((256, 64, 256),), channels=4),
     stft_loss=STFTLossConfig(resolutions=((256, 64, 256), (512, 128, 512))),
     train=TrainConfig(batch_size=2, segment_length=2048),
-    infer=InferConfig(chunk_frames=16, hop_frames=12),
+    infer=InferConfig(chunk_frames=16, hop_frames=8),
 )

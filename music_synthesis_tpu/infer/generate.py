@@ -1,0 +1,87 @@
+"""Fused two-stage inference (SURVEY.md C17/C18, §3.4; BASELINE.json:10).
+
+``z -> stage-1 mel -> overlapping chunks -> vocoder -> windowed overlap-add
+-> waveform`` as ONE jitted XLA program (the reference notebooks' public
+API). Chunks are embarrassingly parallel, so they are folded into the batch
+axis and vocoded as a single conv batch — the MXU sees one big convolution
+workload instead of a Python loop (SURVEY.md §5.7).
+
+Chunking requires ``(n_frames - chunk_frames) % hop_frames == 0`` so shapes
+stay static; the edge taper is COLA-normalized for unity gain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from music_synthesis_tpu.config import PipelineConfig
+from music_synthesis_tpu.models.specgan import SpectrogramGenerator
+from music_synthesis_tpu.models.vocoder import Vocoder
+from music_synthesis_tpu.ops.overlap_add import (
+    ola_normalizer,
+    ola_window,
+    overlap_add,
+)
+
+__all__ = ["chunk_frames", "vocode_chunked", "generate", "generate_direct"]
+
+
+def chunk_frames(mel: jax.Array, chunk: int, hop: int) -> jax.Array:
+    """``[B, T, M] -> [B, N, chunk, M]`` overlapping frame chunks.
+
+    N = 1 + (T - chunk) // hop; (T - chunk) must divide hop exactly.
+    """
+    t = mel.shape[-2]
+    assert (t - chunk) % hop == 0, (
+        f"n_frames={t} incompatible with chunk={chunk}, hop={hop}"
+    )
+    n = 1 + (t - chunk) // hop
+    parts = [
+        jax.lax.slice_in_dim(mel, i * hop, i * hop + chunk, axis=-2)
+        for i in range(n)
+    ]
+    return jnp.stack(parts, axis=-3)
+
+
+def vocode_chunked(
+    vocoder: Vocoder, g_params, mel: jax.Array, cfg: PipelineConfig
+) -> jax.Array:
+    """Chunked vocoding + windowed OLA: ``[B, T, M] -> [B, T * hop_audio]``."""
+    ic = cfg.infer
+    hop_audio = cfg.vocoder.hop_length
+    chunks = chunk_frames(mel, ic.chunk_frames, ic.hop_frames)
+    b, n, c, m = chunks.shape
+    wav_chunks = vocoder.apply(
+        {"params": g_params}, chunks.reshape(b * n, c, m)
+    ).reshape(b, n, c * hop_audio)
+    window = ola_window(c * hop_audio, ic.hop_frames * hop_audio)
+    out = overlap_add(wav_chunks * window, ic.hop_frames * hop_audio)
+    norm = ola_normalizer(window, n, ic.hop_frames * hop_audio)
+    return out / norm
+
+
+def generate(
+    cfg: PipelineConfig, specgan_params, vocoder_params, z: jax.Array
+) -> jax.Array:
+    """Two-stage synthesis: latent ``[B, Z]`` -> waveform ``[B, L]``.
+
+    Jit this (cfg static): the spectrogram generator, chunking, batched
+    vocoder and OLA all fuse into one XLA program.
+    """
+    mel = SpectrogramGenerator(cfg.specgan).apply({"params": specgan_params}, z)
+    return vocode_chunked(Vocoder(cfg.vocoder), vocoder_params, mel, cfg)
+
+
+generate_jit = jax.jit(generate, static_argnums=0)
+
+
+def generate_direct(
+    cfg: PipelineConfig, specgan_params, vocoder_params, z: jax.Array
+) -> jax.Array:
+    """Unchunked variant (whole mel vocoded at once) — the numeric baseline
+    the chunked path is validated against and a perf comparison point."""
+    mel = SpectrogramGenerator(cfg.specgan).apply({"params": specgan_params}, z)
+    return Vocoder(cfg.vocoder).apply({"params": vocoder_params}, mel)

@@ -1,0 +1,155 @@
+"""Adversarial heads for stage-2 vocoder training (SURVEY.md C9, C10).
+
+* MultiScaleDiscriminator: K structurally identical raw-audio heads at 1x,
+  2x, 4x average-pooled rates; grouped strided conv1d stacks exposing every
+  intermediate feature map for feature matching (C12).
+* MultiResSTFTDiscriminator: 2-D conv heads over log-magnitude STFTs at
+  several (n_fft, hop, win) resolutions.
+
+Every head returns ``(logit, features)``; the multi-head wrappers return
+parallel lists. Layout is channel-last throughout.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from music_synthesis_tpu.config import MRDConfig, MSDConfig
+from music_synthesis_tpu.ops.conv import WNConv, avg_pool1d
+from music_synthesis_tpu.ops.frontend import magnitude_stft
+
+__all__ = [
+    "ScaleDiscriminator",
+    "MultiScaleDiscriminator",
+    "STFTDiscriminator",
+    "MultiResSTFTDiscriminator",
+]
+
+
+class ScaleDiscriminator(nn.Module):
+    """One raw-audio head: wav ``[B, L]`` -> (logit ``[B, L', 1]``, features)."""
+
+    cfg: MSDConfig = MSDConfig()
+
+    @nn.compact
+    def __call__(self, wav: jax.Array):
+        cfg = self.cfg
+        x = wav[..., None]  # [B, L, 1]
+        feats = []
+        x = WNConv(
+            cfg.channels[0], (cfg.input_kernel,), padding="reflect",
+            use_weight_norm=cfg.use_weight_norm, name="conv_in",
+        )(x)
+        x = nn.leaky_relu(x, cfg.leaky_slope)
+        feats.append(x)
+        for i, (ch, s, grp) in enumerate(
+            zip(cfg.channels[1:], cfg.strides, cfg.groups)
+        ):
+            x = WNConv(
+                ch, (cfg.kernel,), strides=(s,), groups=min(grp, x.shape[-1]),
+                padding="same", use_weight_norm=cfg.use_weight_norm,
+                name=f"down_{i}",
+            )(x)
+            x = nn.leaky_relu(x, cfg.leaky_slope)
+            feats.append(x)
+        x = WNConv(
+            cfg.channels[-1], (cfg.post_kernel,), padding="same",
+            use_weight_norm=cfg.use_weight_norm, name="conv_post",
+        )(x)
+        x = nn.leaky_relu(x, cfg.leaky_slope)
+        feats.append(x)
+        logit = WNConv(
+            1, (cfg.output_kernel,), padding="same",
+            use_weight_norm=cfg.use_weight_norm, name="conv_out",
+        )(x)
+        return logit, feats
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """K heads on progressively average-pooled audio (C9)."""
+
+    cfg: MSDConfig = MSDConfig()
+
+    @nn.compact
+    def __call__(self, wav: jax.Array):
+        logits, features = [], []
+        x = wav
+        for s in range(self.cfg.n_scales):
+            logit, feats = ScaleDiscriminator(self.cfg, name=f"scale_{s}")(x)
+            logits.append(logit)
+            features.append(feats)
+            if s + 1 < self.cfg.n_scales:
+                x = avg_pool1d(
+                    x[..., None], window=4,
+                    stride=self.cfg.downsample_factor, pad=1,
+                )[..., 0]
+        return logits, features
+
+
+class STFTDiscriminator(nn.Module):
+    """One spectral head: wav ``[B, L]`` -> 2-D convs on log|STFT|."""
+
+    n_fft: int
+    hop: int
+    win: int
+    channels: int = 32
+    leaky_slope: float = 0.2
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, wav: jax.Array):
+        spec = magnitude_stft(wav, self.n_fft, self.hop, self.win)
+        x = jnp.log(spec)[..., None]  # [B, T, F, 1]
+        feats = []
+        layer_specs = [
+            ((3, 9), (1, 1)),
+            ((3, 9), (1, 2)),
+            ((3, 9), (1, 2)),
+            ((3, 9), (1, 2)),
+            ((3, 3), (1, 1)),
+        ]
+        for i, (k, s) in enumerate(layer_specs):
+            x = WNConv(
+                self.channels, k, strides=s, padding="same",
+                use_weight_norm=self.use_weight_norm, name=f"conv_{i}",
+            )(x)
+            x = nn.leaky_relu(x, self.leaky_slope)
+            feats.append(x)
+        logit = WNConv(
+            1, (3, 3), padding="same",
+            use_weight_norm=self.use_weight_norm, name="conv_out",
+        )(x)
+        return logit, feats
+
+
+class MultiResSTFTDiscriminator(nn.Module):
+    """Heads at several STFT resolutions (C10)."""
+
+    cfg: MRDConfig = MRDConfig()
+
+    @nn.compact
+    def __call__(self, wav: jax.Array):
+        logits, features = [], []
+        for n_fft, hop, win in self.cfg.resolutions:
+            logit, feats = STFTDiscriminator(
+                n_fft, hop, win, self.cfg.channels, self.cfg.leaky_slope,
+                self.cfg.use_weight_norm, name=f"res_{n_fft}",
+            )(wav)
+            logits.append(logit)
+            features.append(feats)
+        return logits, features
+
+
+class CombinedDiscriminator(nn.Module):
+    """MSD + MRD under one parameter tree — the full stage-2 ``D``."""
+
+    msd: MSDConfig = MSDConfig()
+    mrd: MRDConfig = MRDConfig()
+
+    @nn.compact
+    def __call__(self, wav: jax.Array):
+        msd_logits, msd_feats = MultiScaleDiscriminator(self.msd, name="msd")(wav)
+        mrd_logits, mrd_feats = MultiResSTFTDiscriminator(self.mrd, name="mrd")(wav)
+        return msd_logits + mrd_logits, msd_feats + mrd_feats

@@ -1,0 +1,102 @@
+"""Stage-2 conditioned waveform vocoder (SURVEY.md C8, P:5-9).
+
+MelGAN-family generator: mel ``[B, T, M]`` -> waveform ``[B, T*256]`` via a
+transposed-conv1d upsampling stack (factors 8-8-2-2 = 256 = front-end hop)
+with dilated residual blocks (dilations 1, 3, 9) between upsampling stages,
+weight norm throughout, tanh output.
+
+TPU notes: channel-last layout so every conv lowers onto the MXU; fully
+convolutional, so the model is length-polymorphic — chunked inference picks a
+static chunk length per compiled program (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from music_synthesis_tpu.config import VocoderConfig
+from music_synthesis_tpu.ops.conv import WNConv, WNConvTranspose1d
+
+__all__ = ["ResidualStack", "Vocoder"]
+
+
+class ResidualBlock(nn.Module):
+    """leaky -> dilated 3x conv -> leaky -> 1x conv, plus 1x-conv shortcut."""
+
+    channels: int
+    dilation: int
+    kernel: int = 3
+    leaky_slope: float = 0.2
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.leaky_relu(x, self.leaky_slope)
+        y = WNConv(
+            self.channels, (self.kernel,), dilations=(self.dilation,),
+            padding="reflect", use_weight_norm=self.use_weight_norm,
+            name="dilated",
+        )(y)
+        y = nn.leaky_relu(y, self.leaky_slope)
+        y = WNConv(
+            self.channels, (1,), use_weight_norm=self.use_weight_norm,
+            name="pointwise",
+        )(y)
+        shortcut = WNConv(
+            self.channels, (1,), use_weight_norm=self.use_weight_norm,
+            name="shortcut",
+        )(x)
+        return shortcut + y
+
+
+class ResidualStack(nn.Module):
+    """Stack of residual blocks with increasing dilation (1, 3, 9, ...)."""
+
+    channels: int
+    dilations: tuple[int, ...] = (1, 3, 9)
+    kernel: int = 3
+    leaky_slope: float = 0.2
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for d in self.dilations:
+            x = ResidualBlock(
+                self.channels, d, self.kernel, self.leaky_slope,
+                self.use_weight_norm, name=f"block_d{d}",
+            )(x)
+        return x
+
+
+class Vocoder(nn.Module):
+    """mel ``[B, T, n_mels]`` -> waveform ``[B, T * prod(upsample_factors)]``."""
+
+    cfg: VocoderConfig = VocoderConfig()
+
+    @nn.compact
+    def __call__(self, mel: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        x = WNConv(
+            cfg.base_channels, (cfg.input_kernel,), padding="reflect",
+            use_weight_norm=cfg.use_weight_norm, name="conv_in",
+        )(mel)
+        channels = cfg.base_channels
+        for i, u in enumerate(cfg.upsample_factors):
+            channels //= 2
+            x = nn.leaky_relu(x, cfg.leaky_slope)
+            x = WNConvTranspose1d(
+                channels, kernel_size=2 * u, stride=u,
+                use_weight_norm=cfg.use_weight_norm, name=f"upsample_{i}",
+            )(x)
+            x = ResidualStack(
+                channels, cfg.res_dilations, cfg.res_kernel,
+                cfg.leaky_slope, cfg.use_weight_norm, name=f"res_{i}",
+            )(x)
+        x = nn.leaky_relu(x, cfg.leaky_slope)
+        x = WNConv(
+            1, (cfg.output_kernel,), padding="reflect",
+            use_weight_norm=cfg.use_weight_norm, name="conv_out",
+        )(x)
+        return jnp.tanh(x)[..., 0]

@@ -1,0 +1,188 @@
+"""Weight-normalized convolution primitives in TPU-friendly layout.
+
+SURVEY.md C20: MelGAN-family generators/discriminators use weight-norm
+reparametrization. Flax has no built-in; here it is explicit ``(g, v)``
+parameters with ``kernel = g * v / ||v||`` so optimizers see the
+reparametrized space, exactly like torch.nn.utils.weight_norm.
+
+Layout: activations are ``[B, L, C]`` (1-D) / ``[B, H, W, C]`` (2-D) — the
+channel-last layout XLA:TPU tiles onto the MXU. Kernels are ``[*K, Cin/g,
+Cout]`` (HIO/HWIO).
+
+All padding is explicit (reflect or zeros) followed by a VALID conv, so the
+numerics match the reference family's ReflectionPad1d + Conv1d convention and
+never depend on XLA's SAME-padding placement.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["WNConv", "WNConvTranspose1d", "avg_pool1d"]
+
+
+def _normalize(v: jax.Array, g: jax.Array) -> jax.Array:
+    """kernel = g * v / ||v||, norm over all axes except the last (Cout)."""
+    axes = tuple(range(v.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True) + 1e-12)
+    return v * (g / norm.reshape(-1))
+
+
+class WNConv(nn.Module):
+    """N-D convolution with optional weight norm, explicit padding.
+
+    kernel_size: ints per spatial dim. padding: 'same' (torch-style
+    symmetric, zeros), 'reflect' (symmetric reflect), 'valid', or explicit
+    ((lo, hi), ...) zero padding.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | None = None
+    dilations: Sequence[int] | None = None
+    groups: int = 1
+    padding: str | Sequence[tuple[int, int]] = "same"
+    use_weight_norm: bool = True
+    use_bias: bool = True
+    init_scale: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ndim = len(self.kernel_size)
+        strides = tuple(self.strides or (1,) * ndim)
+        dilations = tuple(self.dilations or (1,) * ndim)
+        cin = x.shape[-1]
+        assert cin % self.groups == 0, (cin, self.groups)
+        kshape = (*self.kernel_size, cin // self.groups, self.features)
+
+        v = self.param(
+            "v", nn.initializers.normal(self.init_scale), kshape, jnp.float32
+        )
+        if self.use_weight_norm:
+            g = self.param(
+                "g",
+                lambda _key: jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=tuple(range(v.ndim - 1)))
+                    + 1e-12
+                ),
+            )
+            kernel = _normalize(v, g)
+        else:
+            kernel = v
+
+        # Explicit padding.
+        if self.padding == "valid":
+            pads = ((0, 0),) * ndim
+        elif self.padding in ("same", "reflect"):
+            pads = []
+            for k, d in zip(self.kernel_size, dilations):
+                total = d * (k - 1)
+                pads.append((total // 2, total - total // 2))
+            pads = tuple(pads)
+        else:
+            pads = tuple(self.padding)
+        if any(p != (0, 0) for p in pads):
+            mode = "reflect" if self.padding == "reflect" else "constant"
+            x = jnp.pad(x, ((0, 0), *pads, (0, 0)), mode=mode)
+
+        spatial = "".join("HWD"[i] for i in range(ndim))
+        dn = lax.conv_dimension_numbers(
+            x.shape, kernel.shape,
+            (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"),
+        )
+        out = lax.conv_general_dilated(
+            x, kernel,
+            window_strides=strides,
+            padding="VALID",
+            rhs_dilation=dilations,
+            dimension_numbers=dn,
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            b = self.param(
+                "b", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + b
+        return out
+
+
+class WNConv1d(WNConv):
+    pass  # alias with 1-tuple kernel_size; kept for call-site clarity
+
+
+class WNConvTranspose1d(nn.Module):
+    """1-D transposed conv, stride ``u``, kernel ``2u`` -> exact ``u``x upsample.
+
+    Output length is exactly ``L * stride`` (pad total = kernel - stride,
+    split symmetrically), mirroring the MelGAN family's
+    ConvTranspose1d(k=2u, stride=u, padding=ceil(u/2), output_padding=u%2).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_weight_norm: bool = True
+    use_bias: bool = True
+    init_scale: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kshape = (self.kernel_size, cin, self.features)
+        v = self.param(
+            "v", nn.initializers.normal(self.init_scale), kshape, jnp.float32
+        )
+        if self.use_weight_norm:
+            g = self.param(
+                "g",
+                lambda _key: jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=(0, 1)) + 1e-12
+                ),
+            )
+            kernel = _normalize(v, g)
+        else:
+            kernel = v
+
+        assert self.kernel_size >= self.stride, "kernel must be >= stride"
+        # SAME padding on the stride-dilated input yields exactly L * stride
+        # output samples (verified against lax.conv_transpose semantics).
+        out = lax.conv_transpose(
+            x, kernel,
+            strides=(self.stride,),
+            padding="SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            b = self.param(
+                "b", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + b
+        return out
+
+
+def avg_pool1d(x: jax.Array, window: int, stride: int, pad: int) -> jax.Array:
+    """Average pool over the length axis of ``[B, L, C]``.
+
+    Zero-padded but normalized by the true (unpadded) window overlap —
+    torch AvgPool1d(count_include_pad=False) semantics, as used between
+    multi-scale discriminator heads.
+    """
+    sums = lax.reduce_window(
+        x, 0.0, lax.add,
+        window_dimensions=(1, window, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (pad, pad), (0, 0)),
+    )
+    ones = jnp.ones((1, x.shape[1], 1), x.dtype)
+    counts = lax.reduce_window(
+        ones, 0.0, lax.add,
+        window_dimensions=(1, window, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (pad, pad), (0, 0)),
+    )
+    return sums / counts

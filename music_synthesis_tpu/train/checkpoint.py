@@ -1,0 +1,51 @@
+"""Checkpoint save/restore via orbax (SURVEY.md C16, §5.4).
+
+One composite state {g_params, d_params, g_opt, d_opt, step, rng} per stage;
+restore reproduces the next training step bitwise (tested in
+tests/test_train.py). Async-capable: pass ``wait=False`` to overlap the save
+with training and call ``checkpointer.wait_until_finished()`` later.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: numbered step checkpoints under one directory."""
+
+    def __init__(self, directory: str | os.PathLike, max_to_keep: int = 5):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, state: Any, wait: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def restore(self, state_like: Any, step: int | None = None) -> Any:
+        """Restore into the structure of ``state_like`` (an abstract or
+        concrete state pytree). Defaults to the latest step."""
+        if step is None:
+            step = self._mgr.latest_step()
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def wait_until_finished(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,119 @@
+"""Stage-1 spectrogram GAN training (SURVEY.md C14, §3.3; BASELINE.json:8).
+
+Alternating hinge-loss updates for the low-resolution spectrogram generator
+("composer") against the spectrogram discriminator, over real normalized
+log-mel patches. Same one-jit two-optimizer structure as stage 2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from music_synthesis_tpu.config import PipelineConfig
+from music_synthesis_tpu.losses.gan import (
+    feature_matching_loss,
+    hinge_d_loss,
+    hinge_g_loss,
+)
+from music_synthesis_tpu.models.specgan import (
+    SpectrogramDiscriminator,
+    SpectrogramGenerator,
+)
+from music_synthesis_tpu.train.state import GANState, make_optimizer
+
+__all__ = ["make_models", "make_train_state", "train_step", "forward_and_loss"]
+
+
+def make_models(cfg: PipelineConfig):
+    return SpectrogramGenerator(cfg.specgan), SpectrogramDiscriminator(cfg.specgan)
+
+
+def make_train_state(cfg: PipelineConfig, rng: jax.Array) -> GANState:
+    gen, disc = make_models(cfg)
+    s = cfg.specgan
+    rng, gk, dk = jax.random.split(rng, 3)
+    z = jnp.zeros((1, s.latent_dim), jnp.float32)
+    g_params = gen.init(gk, z)["params"]
+    mel = jnp.zeros((1, s.n_frames, s.n_mels), jnp.float32)
+    d_params = disc.init(dk, mel)["params"]
+    t = cfg.train
+    g_tx = make_optimizer(t.g_lr, t)
+    d_tx = make_optimizer(t.d_lr, t)
+    return GANState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params),
+        rng=rng,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def forward_and_loss(
+    cfg: PipelineConfig, state: GANState, real_mel: jax.Array, z: jax.Array
+) -> dict[str, jax.Array]:
+    """Judged scenario 2 (BASELINE.json:8): G forward + hinge losses, no update."""
+    gen, disc = make_models(cfg)
+    fake = gen.apply({"params": state.g_params}, z)
+    real_logit, _ = disc.apply({"params": state.d_params}, real_mel)
+    fake_logit, _ = disc.apply({"params": state.d_params}, fake)
+    return {
+        "d_loss": hinge_d_loss(real_logit, fake_logit),
+        "g_loss": hinge_g_loss(fake_logit),
+    }
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def train_step(
+    cfg: PipelineConfig, state: GANState, real_mel: jax.Array
+) -> tuple[GANState, dict[str, jax.Array]]:
+    """One alternating D/G update on normalized log-mel patches ``[B, T, M]``."""
+    gen, disc = make_models(cfg)
+    t = cfg.train
+    g_tx = make_optimizer(t.g_lr, t)
+    d_tx = make_optimizer(t.d_lr, t)
+
+    rng, zk = jax.random.split(state.rng)
+    z = jax.random.normal(
+        zk, (real_mel.shape[0], cfg.specgan.latent_dim), real_mel.dtype
+    )
+    fake = gen.apply({"params": state.g_params}, z)
+    fake_sg = jax.lax.stop_gradient(fake)
+
+    def d_loss_fn(d_params):
+        real_logit, _ = disc.apply({"params": d_params}, real_mel)
+        fake_logit, _ = disc.apply({"params": d_params}, fake_sg)
+        return hinge_d_loss(real_logit, fake_logit)
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    def g_loss_fn(g_params):
+        fake_g = gen.apply({"params": g_params}, z)
+        fake_logit, fake_feats = disc.apply({"params": d_params}, fake_g)
+        _, real_feats = disc.apply({"params": d_params}, real_mel)
+        adv = hinge_g_loss(fake_logit)
+        fm = feature_matching_loss(real_feats, fake_feats)
+        return adv + t.lambda_feature_matching * fm, {"g_adv": adv, "g_fm": fm}
+
+    (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.g_params
+    )
+    g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+
+    new_state = GANState(
+        step=state.step + 1,
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_opt,
+        d_opt=d_opt,
+        rng=rng,
+    )
+    return new_state, {"d_loss": d_loss, "g_loss": g_loss, **aux}

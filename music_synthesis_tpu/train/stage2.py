@@ -1,0 +1,127 @@
+"""Stage-2 vocoder GAN training (SURVEY.md C15, §3.2; BASELINE.json:9,11).
+
+One jitted ``train_step`` holds both optimizers: D updates on
+stop_gradient(fake) with hinge loss, then G updates against the *updated* D
+with hinge + feature-matching + multi-res STFT objectives — alternating G/D
+expressed as two grad computations inside a single XLA program (SURVEY.md §7
+step 5), so there is exactly one dispatch and one host<->device crossing per
+step.
+
+The mel conditioning is computed from the raw waveform batch *inside* the
+step by the front-end, so the whole pipeline (features -> G -> D -> losses ->
+both optimizers) fuses into one program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from music_synthesis_tpu.config import PipelineConfig
+from music_synthesis_tpu.losses.gan import (
+    feature_matching_loss,
+    hinge_d_loss,
+    hinge_g_loss,
+)
+from music_synthesis_tpu.losses.stft_loss import multires_stft_loss
+from music_synthesis_tpu.models.discriminators import CombinedDiscriminator
+from music_synthesis_tpu.models.vocoder import Vocoder
+from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
+from music_synthesis_tpu.train.state import GANState, make_optimizer
+
+__all__ = ["make_models", "make_train_state", "train_step", "conditioning_mel"]
+
+
+def make_models(cfg: PipelineConfig):
+    return Vocoder(cfg.vocoder), CombinedDiscriminator(cfg.msd, cfg.mrd)
+
+
+def conditioning_mel(wav: jax.Array, cfg: PipelineConfig) -> jax.Array:
+    """Normalized log-mel conditioning, one frame per hop of audio."""
+    mel = log_mel_for_vocoder(wav, cfg.frontend)
+    return (mel - cfg.mel_scaler.shift) / cfg.mel_scaler.scale
+
+
+def make_train_state(cfg: PipelineConfig, rng: jax.Array) -> GANState:
+    gen, disc = make_models(cfg)
+    rng, gk, dk = jax.random.split(rng, 3)
+    t = cfg.train
+    mel = jnp.zeros(
+        (1, cfg.train.segment_length // cfg.frontend.hop_length,
+         cfg.vocoder.n_mels),
+        jnp.float32,
+    )
+    g_params = gen.init(gk, mel)["params"]
+    wav = jnp.zeros((1, cfg.train.segment_length), jnp.float32)
+    d_params = disc.init(dk, wav)["params"]
+    g_tx = make_optimizer(t.g_lr, t)
+    d_tx = make_optimizer(t.d_lr, t)
+    return GANState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params),
+        rng=rng,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def train_step(
+    cfg: PipelineConfig, state: GANState, wav: jax.Array
+) -> tuple[GANState, dict[str, jax.Array]]:
+    """One alternating D/G update on a waveform batch ``[B, L]``."""
+    gen, disc = make_models(cfg)
+    t = cfg.train
+    g_tx = make_optimizer(t.g_lr, t)
+    d_tx = make_optimizer(t.d_lr, t)
+
+    mel = conditioning_mel(wav, cfg)
+    fake = gen.apply({"params": state.g_params}, mel)
+    fake_sg = jax.lax.stop_gradient(fake)
+
+    # --- D step (on detached fake) ---
+    def d_loss_fn(d_params):
+        real_logits, _ = disc.apply({"params": d_params}, wav)
+        fake_logits, _ = disc.apply({"params": d_params}, fake_sg)
+        return hinge_d_loss(real_logits, fake_logits)
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    # --- G step (against updated D) ---
+    def g_loss_fn(g_params):
+        fake_g = gen.apply({"params": g_params}, mel)
+        fake_logits, fake_feats = disc.apply({"params": d_params}, fake_g)
+        real_logits, real_feats = disc.apply({"params": d_params}, wav)
+        adv = hinge_g_loss(fake_logits)
+        fm = feature_matching_loss(real_feats, fake_feats)
+        stft = multires_stft_loss(fake_g, wav, cfg.stft_loss)
+        total = (
+            adv
+            + t.lambda_feature_matching * fm
+            + t.lambda_stft * stft
+        )
+        return total, {"g_adv": adv, "g_fm": fm, "g_stft": stft}
+
+    (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.g_params
+    )
+    g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+
+    new_state = GANState(
+        step=state.step + 1,
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_opt,
+        d_opt=d_opt,
+        rng=state.rng,
+    )
+    metrics = {"d_loss": d_loss, "g_loss": g_loss, **aux}
+    return new_state, metrics

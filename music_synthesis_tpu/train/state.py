@@ -1,0 +1,33 @@
+"""GAN training state (SURVEY.md C14-C16).
+
+One pytree holds both players' parameters and optimizer states plus step and
+rng — the composite orbax checkpoints persist (SURVEY.md §5.4). Model/opt
+*definitions* stay outside the pytree (static), so the whole state threads
+through a single jitted step with no recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import optax
+
+from music_synthesis_tpu.config import TrainConfig
+
+__all__ = ["GANState", "make_optimizer"]
+
+
+class GANState(flax.struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+    rng: jax.Array
+
+
+def make_optimizer(lr: float, cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam with GAN-friendly betas (0.5, 0.9) — MelGAN-family settings."""
+    return optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)

@@ -1,0 +1,67 @@
+"""Fused two-stage inference tests (SURVEY.md §4.2, §3.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_synthesis_tpu.config import TINY
+from music_synthesis_tpu.infer.generate import (
+    chunk_frames,
+    generate,
+    generate_direct,
+    vocode_chunked,
+)
+from music_synthesis_tpu.models.vocoder import Vocoder
+from music_synthesis_tpu.train import stage1, stage2
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_chunk_frames_layout():
+    mel = jnp.arange(2 * 32 * 4, dtype=jnp.float32).reshape(2, 32, 4)
+    chunks = chunk_frames(mel, 16, 8)
+    assert chunks.shape == (2, 3, 16, 4)
+    np.testing.assert_array_equal(
+        np.asarray(chunks[:, 1]), np.asarray(mel[:, 8:24])
+    )
+
+
+def test_generate_end_to_end_shapes():
+    cfg = TINY
+    s1 = stage1.make_train_state(cfg, KEY)
+    s2 = stage2.make_train_state(cfg, jax.random.PRNGKey(1))
+    z = jax.random.normal(KEY, (2, cfg.specgan.latent_dim))
+    wav = jax.jit(generate, static_argnums=0)(
+        cfg, s1.g_params, s2.g_params, z
+    )
+    assert wav.shape == (2, cfg.specgan.n_frames * cfg.vocoder.hop_length)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert np.abs(np.asarray(wav)).max() <= 1.0 + 1e-5
+
+
+def test_chunked_matches_direct_in_interior():
+    """Away from chunk boundaries (vocoder receptive field), chunked OLA
+    output equals whole-mel vocoding: the overlap covers edge effects."""
+    cfg = TINY
+    s2 = stage2.make_train_state(cfg, KEY)
+    mel = jax.random.normal(jax.random.PRNGKey(3), (1, 32, cfg.vocoder.n_mels))
+    voc = Vocoder(cfg.vocoder)
+    direct = np.asarray(voc.apply({"params": s2.g_params}, mel))
+    chunked = np.asarray(vocode_chunked(voc, s2.g_params, mel, cfg))
+    assert chunked.shape == direct.shape
+    err = np.abs(chunked - direct)
+    hop = cfg.vocoder.hop_length
+    # Compare the central region of each chunk interior; boundaries blend
+    # chunks whose receptive field was truncated, so only check the middle.
+    mid = slice(12 * hop, 20 * hop)
+    np.testing.assert_allclose(chunked[:, mid], direct[:, mid], atol=5e-3)
+    assert err.mean() < 2e-2
+
+
+def test_generate_direct_shape():
+    cfg = TINY
+    s1 = stage1.make_train_state(cfg, KEY)
+    s2 = stage2.make_train_state(cfg, jax.random.PRNGKey(1))
+    z = jax.random.normal(KEY, (1, cfg.specgan.latent_dim))
+    wav = generate_direct(cfg, s1.g_params, s2.g_params, z)
+    assert wav.shape == (1, cfg.specgan.n_frames * cfg.vocoder.hop_length)

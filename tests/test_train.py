@@ -1,0 +1,99 @@
+"""Training integration tests (SURVEY.md §4.3): smoke runs, checkpoint resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_synthesis_tpu.config import TINY
+from music_synthesis_tpu.train import stage1, stage2
+from music_synthesis_tpu.train.checkpoint import CheckpointManager
+
+KEY = jax.random.PRNGKey(42)
+
+
+def _wav_batch(key, cfg):
+    return 0.5 * jnp.tanh(
+        jax.random.normal(
+            key, (cfg.train.batch_size, cfg.train.segment_length)
+        )
+    )
+
+
+def test_stage2_smoke_losses_finite_and_learning():
+    cfg = TINY
+    state = stage2.make_train_state(cfg, KEY)
+    wav = _wav_batch(jax.random.PRNGKey(1), cfg)
+    first = last = None
+    for i in range(5):
+        state, metrics = stage2.train_step(cfg, state, wav)
+        vals = {k: float(v) for k, v in metrics.items()}
+        assert all(np.isfinite(v) for v in vals.values()), vals
+        if i == 0:
+            first = vals
+        last = vals
+    assert int(state.step) == 5
+    # On a fixed batch the G objective must decrease as G fits D + STFT.
+    assert last["g_stft"] < first["g_stft"]
+
+
+def test_stage1_smoke_and_forward_loss():
+    cfg = TINY
+    state = stage1.make_train_state(cfg, KEY)
+    mel = jax.random.uniform(
+        jax.random.PRNGKey(2),
+        (cfg.train.batch_size, cfg.specgan.n_frames, cfg.specgan.n_mels),
+        minval=-1.0, maxval=1.0,
+    )
+    # Judged scenario 2: forward + loss, no update.
+    z = jax.random.normal(KEY, (cfg.train.batch_size, cfg.specgan.latent_dim))
+    losses = stage1.forward_and_loss(cfg, state, mel, z)
+    assert np.isfinite(float(losses["d_loss"]))
+    assert np.isfinite(float(losses["g_loss"]))
+
+    for _ in range(3):
+        state, metrics = stage1.train_step(cfg, state, mel)
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+    assert int(state.step) == 3
+    # rng must advance so z differs step to step.
+    assert not np.array_equal(np.asarray(state.rng), np.asarray(KEY))
+
+
+def test_conditioning_mel_alignment():
+    cfg = TINY
+    wav = _wav_batch(jax.random.PRNGKey(3), cfg)
+    mel = stage2.conditioning_mel(wav, cfg)
+    assert mel.shape == (
+        cfg.train.batch_size,
+        cfg.train.segment_length // cfg.frontend.hop_length,
+        cfg.frontend.n_mels,
+    )
+    # Normalized space should be roughly centered (|mean| < 1).
+    assert abs(float(mel.mean())) < 1.0
+
+
+def test_checkpoint_restore_bitwise(tmp_path):
+    """save -> restore -> next step is bit-identical (SURVEY.md §4.3)."""
+    cfg = TINY
+    state = stage2.make_train_state(cfg, KEY)
+    wav = _wav_batch(jax.random.PRNGKey(4), cfg)
+    state, _ = stage2.train_step(cfg, state, wav)
+
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(int(state.step), state, wait=True)
+
+    # Continue directly (keep a deep copy since train_step donates its input).
+    cont = jax.tree.map(jnp.copy, state)
+    cont, m_direct = stage2.train_step(cfg, cont, wav)
+
+    template = stage2.make_train_state(cfg, KEY)
+    restored = mgr.restore(template)
+    mgr.close()
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    resumed, m_resumed = stage2.train_step(cfg, restored, wav)
+    for a, b in zip(jax.tree.leaves(cont), jax.tree.leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in m_direct:
+        np.testing.assert_array_equal(
+            np.asarray(m_direct[k]), np.asarray(m_resumed[k])
+        )
