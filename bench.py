@@ -45,6 +45,14 @@ def main() -> None:
     z = jax.random.normal(kz, (batch, cfg.specgan.latent_dim), jnp.float32)
     fn = jax.jit(generate, static_argnums=0)
 
+    def call(i: int):
+        # Fresh latents every call: repeated identical invocations can be
+        # served from execution caches and would overstate throughput.
+        zi = jax.random.normal(
+            jax.random.fold_in(kz, i), (batch, cfg.specgan.latent_dim)
+        )
+        return fn(cfg, specgan_params, vocoder_params, zi)
+
     samples_per_call = batch * cfg.specgan.n_frames * cfg.vocoder.hop_length
     audio_sec_per_call = samples_per_call / cfg.frontend.sample_rate
     log(f"batch={batch} frames={cfg.specgan.n_frames} "
@@ -57,10 +65,11 @@ def main() -> None:
     log(f"compile+first call: {time.perf_counter() - t0:.1f}s; "
         f"out shape {out.shape}")
 
+    jax.block_until_ready(call(10_000))  # warm the fresh-z path
     n_iters = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(cfg, specgan_params, vocoder_params, z)
+    for i in range(n_iters):
+        out = call(i)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
     rtf = audio_sec_per_call * n_iters / elapsed

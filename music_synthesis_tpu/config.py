@@ -158,6 +158,10 @@ class TrainConfig:
     seed: int = 0
     checkpoint_every: int = 1000
     log_every: int = 50
+    # Use the fused Pallas front-end kernel for conditioning mel inside the
+    # train step (TPU single-chip; the pure-JAX oracle is used on CPU and in
+    # the jit-sharded DP path until the shard_map migration).
+    use_pallas_frontend: bool = False
     # distribution
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -41,8 +41,20 @@ def make_models(cfg: PipelineConfig):
 
 
 def conditioning_mel(wav: jax.Array, cfg: PipelineConfig) -> jax.Array:
-    """Normalized log-mel conditioning, one frame per hop of audio."""
-    mel = log_mel_for_vocoder(wav, cfg.frontend)
+    """Normalized log-mel conditioning, one frame per hop of audio.
+
+    With cfg.train.use_pallas_frontend (TPU), the fused Pallas kernel
+    computes the features; otherwise the pure-JAX oracle. No gradient flows
+    into the conditioning, so the kernel needs no VJP here.
+    """
+    if cfg.train.use_pallas_frontend:
+        from music_synthesis_tpu.ops.pallas_frontend import (
+            pallas_log_mel_for_vocoder,
+        )
+
+        mel = pallas_log_mel_for_vocoder(wav, cfg.frontend)
+    else:
+        mel = log_mel_for_vocoder(wav, cfg.frontend)
     return (mel - cfg.mel_scaler.shift) / cfg.mel_scaler.scale
 
 

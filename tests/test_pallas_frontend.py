@@ -1,0 +1,72 @@
+"""Pallas fused front-end vs the pure-JAX oracle (SURVEY.md §4.1).
+
+Runs in interpreter mode on the CPU test mesh; the same kernel compiles via
+Mosaic on the real chip (exercised by bench/TPU runs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from music_synthesis_tpu.config import FrontendConfig
+from music_synthesis_tpu.ops.frontend import log_mel, log_mel_for_vocoder
+from music_synthesis_tpu.ops.pallas_frontend import (
+    pallas_log_mel,
+    pallas_log_mel_for_vocoder,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _signal(shape):
+    # Audio-scaled signal so power values are realistic.
+    return 0.5 * jnp.tanh(jax.random.normal(KEY, shape))
+
+
+@pytest.mark.parametrize("n_mels", [128, 32])
+def test_matches_oracle(n_mels):
+    cfg = FrontendConfig(n_mels=n_mels)
+    wav = _signal((2, 8192))
+    want = np.asarray(log_mel(wav, cfg))
+    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=16, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_matches_oracle_non_tile_multiple():
+    """Frame count not divisible by the tile: padding/trim path."""
+    cfg = FrontendConfig(n_mels=32)
+    wav = _signal((1, 1024 + 256 * 10))  # 11 frames, tile 8
+    want = np.asarray(log_mel(wav, cfg))
+    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=8, interpret=True))
+    assert got.shape == want.shape == (1, 11, 32)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_magnitude_mode():
+    cfg = FrontendConfig(n_mels=32, power=1.0)
+    wav = _signal((1, 4096))
+    want = np.asarray(log_mel(wav, cfg))
+    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_center_mode():
+    cfg = FrontendConfig(n_mels=32, center=True)
+    wav = _signal((1, 4096))
+    want = np.asarray(log_mel(wav, cfg))
+    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=8, interpret=True))
+    assert got.shape == want.shape == (1, 4096 // 256 + 1, 32)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_vocoder_variant_matches_oracle():
+    cfg = FrontendConfig(n_mels=32)
+    wav = _signal((2, 4096))
+    want = np.asarray(log_mel_for_vocoder(wav, cfg))
+    got = np.asarray(
+        pallas_log_mel_for_vocoder(wav, cfg, tile_frames=8, interpret=True)
+    )
+    assert got.shape == want.shape == (2, 16, 32)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
