@@ -72,6 +72,7 @@ class SpecGANConfig:
     disc_kernel: int = 5
     disc_strides: Tuple[int, ...] = (2, 2, 2, 2)
     leaky_slope: float = 0.2
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-native mixed precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +91,7 @@ class VocoderConfig:
     res_kernel: int = 3
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-native mixed precision
 
     @property
     def hop_length(self) -> int:
@@ -114,6 +116,7 @@ class MSDConfig:
     output_kernel: int = 3
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +132,7 @@ class MRDConfig:
     channels: int = 32
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

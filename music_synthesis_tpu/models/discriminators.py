@@ -40,7 +40,8 @@ class ScaleDiscriminator(nn.Module):
         feats = []
         x = WNConv(
             cfg.channels[0], (cfg.input_kernel,), padding="reflect",
-            use_weight_norm=cfg.use_weight_norm, name="conv_in",
+            use_weight_norm=cfg.use_weight_norm,
+            compute_dtype=cfg.compute_dtype, name="conv_in",
         )(x)
         x = nn.leaky_relu(x, cfg.leaky_slope)
         feats.append(x)
@@ -50,19 +51,21 @@ class ScaleDiscriminator(nn.Module):
             x = WNConv(
                 ch, (cfg.kernel,), strides=(s,), groups=min(grp, x.shape[-1]),
                 padding="same", use_weight_norm=cfg.use_weight_norm,
-                name=f"down_{i}",
+                compute_dtype=cfg.compute_dtype, name=f"down_{i}",
             )(x)
             x = nn.leaky_relu(x, cfg.leaky_slope)
             feats.append(x)
         x = WNConv(
             cfg.channels[-1], (cfg.post_kernel,), padding="same",
-            use_weight_norm=cfg.use_weight_norm, name="conv_post",
+            use_weight_norm=cfg.use_weight_norm,
+            compute_dtype=cfg.compute_dtype, name="conv_post",
         )(x)
         x = nn.leaky_relu(x, cfg.leaky_slope)
         feats.append(x)
         logit = WNConv(
             1, (cfg.output_kernel,), padding="same",
-            use_weight_norm=cfg.use_weight_norm, name="conv_out",
+            use_weight_norm=cfg.use_weight_norm,
+            compute_dtype=cfg.compute_dtype, name="conv_out",
         )(x)
         return logit, feats
 
@@ -97,6 +100,7 @@ class STFTDiscriminator(nn.Module):
     channels: int = 32
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, wav: jax.Array):
@@ -113,13 +117,15 @@ class STFTDiscriminator(nn.Module):
         for i, (k, s) in enumerate(layer_specs):
             x = WNConv(
                 self.channels, k, strides=s, padding="same",
-                use_weight_norm=self.use_weight_norm, name=f"conv_{i}",
+                use_weight_norm=self.use_weight_norm,
+                compute_dtype=self.compute_dtype, name=f"conv_{i}",
             )(x)
             x = nn.leaky_relu(x, self.leaky_slope)
             feats.append(x)
         logit = WNConv(
             1, (3, 3), padding="same",
-            use_weight_norm=self.use_weight_norm, name="conv_out",
+            use_weight_norm=self.use_weight_norm,
+            compute_dtype=self.compute_dtype, name="conv_out",
         )(x)
         return logit, feats
 
@@ -135,7 +141,8 @@ class MultiResSTFTDiscriminator(nn.Module):
         for n_fft, hop, win in self.cfg.resolutions:
             logit, feats = STFTDiscriminator(
                 n_fft, hop, win, self.cfg.channels, self.cfg.leaky_slope,
-                self.cfg.use_weight_norm, name=f"res_{n_fft}",
+                self.cfg.use_weight_norm, self.cfg.compute_dtype,
+                name=f"res_{n_fft}",
             )(wav)
             logits.append(logit)
             features.append(feats)

@@ -30,6 +30,7 @@ class ResidualBlock(nn.Module):
     kernel: int = 3
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -37,16 +38,16 @@ class ResidualBlock(nn.Module):
         y = WNConv(
             self.channels, (self.kernel,), dilations=(self.dilation,),
             padding="reflect", use_weight_norm=self.use_weight_norm,
-            name="dilated",
+            compute_dtype=self.compute_dtype, name="dilated",
         )(y)
         y = nn.leaky_relu(y, self.leaky_slope)
         y = WNConv(
             self.channels, (1,), use_weight_norm=self.use_weight_norm,
-            name="pointwise",
+            compute_dtype=self.compute_dtype, name="pointwise",
         )(y)
         shortcut = WNConv(
             self.channels, (1,), use_weight_norm=self.use_weight_norm,
-            name="shortcut",
+            compute_dtype=self.compute_dtype, name="shortcut",
         )(x)
         return shortcut + y
 
@@ -59,13 +60,14 @@ class ResidualStack(nn.Module):
     kernel: int = 3
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for d in self.dilations:
             x = ResidualBlock(
                 self.channels, d, self.kernel, self.leaky_slope,
-                self.use_weight_norm, name=f"block_d{d}",
+                self.use_weight_norm, self.compute_dtype, name=f"block_d{d}",
             )(x)
         return x
 
@@ -80,7 +82,8 @@ class Vocoder(nn.Module):
         cfg = self.cfg
         x = WNConv(
             cfg.base_channels, (cfg.input_kernel,), padding="reflect",
-            use_weight_norm=cfg.use_weight_norm, name="conv_in",
+            use_weight_norm=cfg.use_weight_norm,
+            compute_dtype=cfg.compute_dtype, name="conv_in",
         )(mel)
         channels = cfg.base_channels
         for i, u in enumerate(cfg.upsample_factors):
@@ -88,15 +91,18 @@ class Vocoder(nn.Module):
             x = nn.leaky_relu(x, cfg.leaky_slope)
             x = WNConvTranspose1d(
                 channels, kernel_size=2 * u, stride=u,
-                use_weight_norm=cfg.use_weight_norm, name=f"upsample_{i}",
+                use_weight_norm=cfg.use_weight_norm,
+                compute_dtype=cfg.compute_dtype, name=f"upsample_{i}",
             )(x)
             x = ResidualStack(
                 channels, cfg.res_dilations, cfg.res_kernel,
-                cfg.leaky_slope, cfg.use_weight_norm, name=f"res_{i}",
+                cfg.leaky_slope, cfg.use_weight_norm, cfg.compute_dtype,
+                name=f"res_{i}",
             )(x)
         x = nn.leaky_relu(x, cfg.leaky_slope)
         x = WNConv(
             1, (cfg.output_kernel,), padding="reflect",
-            use_weight_norm=cfg.use_weight_norm, name="conv_out",
+            use_weight_norm=cfg.use_weight_norm,
+            compute_dtype=cfg.compute_dtype, name="conv_out",
         )(x)
-        return jnp.tanh(x)[..., 0]
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]

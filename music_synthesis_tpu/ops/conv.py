@@ -50,6 +50,10 @@ class WNConv(nn.Module):
     use_weight_norm: bool = True
     use_bias: bool = True
     init_scale: float = 0.02
+    # Mixed precision: params/weight-norm stay float32; inputs and kernels
+    # are cast to this dtype for the conv (bf16 hits the MXU's native path,
+    # accumulation stays f32 via preferred_element_type).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -90,18 +94,20 @@ class WNConv(nn.Module):
             mode = "reflect" if self.padding == "reflect" else "constant"
             x = jnp.pad(x, ((0, 0), *pads, (0, 0)), mode=mode)
 
+        cdt = jnp.dtype(self.compute_dtype)
         spatial = "".join("HWD"[i] for i in range(ndim))
         dn = lax.conv_dimension_numbers(
             x.shape, kernel.shape,
             (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"),
         )
         out = lax.conv_general_dilated(
-            x, kernel,
+            x.astype(cdt), kernel.astype(cdt),
             window_strides=strides,
             padding="VALID",
             rhs_dilation=dilations,
             dimension_numbers=dn,
             feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             b = self.param(
@@ -129,6 +135,7 @@ class WNConvTranspose1d(nn.Module):
     use_weight_norm: bool = True
     use_bias: bool = True
     init_scale: float = 0.02
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -149,13 +156,15 @@ class WNConvTranspose1d(nn.Module):
             kernel = v
 
         assert self.kernel_size >= self.stride, "kernel must be >= stride"
+        cdt = jnp.dtype(self.compute_dtype)
         # SAME padding on the stride-dilated input yields exactly L * stride
         # output samples (verified against lax.conv_transpose semantics).
         out = lax.conv_transpose(
-            x, kernel,
+            x.astype(cdt), kernel.astype(cdt),
             strides=(self.stride,),
             padding="SAME",
             dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             b = self.param(

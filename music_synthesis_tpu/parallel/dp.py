@@ -38,9 +38,9 @@ def make_dp_step(
 
 def make_dp_stage2_step(cfg: PipelineConfig, mesh: Mesh) -> Callable:
     """(state, wav[B, L]) -> (state, metrics); B sharded over 'data'."""
-    return make_dp_step(stage2.train_step.__wrapped__, cfg, mesh)
+    return make_dp_step(stage2.train_step_impl, cfg, mesh)
 
 
 def make_dp_stage1_step(cfg: PipelineConfig, mesh: Mesh) -> Callable:
     """(state, mel[B, T, M]) -> (state, metrics); B sharded over 'data'."""
-    return make_dp_step(stage1.train_step.__wrapped__, cfg, mesh)
+    return make_dp_step(stage1.train_step_impl, cfg, mesh)

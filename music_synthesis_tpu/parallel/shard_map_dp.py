@@ -1,0 +1,61 @@
+"""Explicit-collective data parallelism via shard_map (SURVEY.md §5.8).
+
+Alternative to ``parallel.dp`` (jit + sharding annotations): the train step
+runs per-device on the local batch shard inside ``jax.shard_map``, with
+gradient/metric averaging as explicit ``lax.pmean`` over the 'data' axis
+(lowered to a psum on ICI). Two reasons to use this path:
+
+* Pallas kernels (the fused front-end) execute per-device inside shard_map
+  without needing a custom-call partitioning rule, so
+  ``use_pallas_frontend`` works in the DP step here.
+* The collective schedule is explicit and auditable in the HLO.
+
+For stage 2 (no rng in the step) this is numerically equivalent to the
+jit-sharded DP step and the single-device step (tested). For stage 1 the
+latent draw is decorrelated per device via axis-index folding, which is the
+*better* sampling scheme but not bit-identical to single-device batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from music_synthesis_tpu.config import PipelineConfig
+from music_synthesis_tpu.train import stage1, stage2
+
+try:  # JAX >= 0.4.35 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["make_shardmap_stage2_step", "make_shardmap_stage1_step"]
+
+
+def _make(step_impl: Callable, cfg: PipelineConfig, mesh: Mesh,
+          axis: str = "data") -> Callable:
+    per_device = functools.partial(step_impl, cfg, axis_name=axis)
+
+    def body(state, batch):
+        return per_device(state, batch)
+
+    sm = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sm, donate_argnums=0)
+
+
+def make_shardmap_stage2_step(cfg: PipelineConfig, mesh: Mesh) -> Callable:
+    """(state, wav[B, L]) -> (state, metrics); per-device + explicit pmean."""
+    return _make(stage2.train_step_impl, cfg, mesh)
+
+
+def make_shardmap_stage1_step(cfg: PipelineConfig, mesh: Mesh) -> Callable:
+    return _make(stage1.train_step_impl, cfg, mesh)

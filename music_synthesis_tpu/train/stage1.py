@@ -25,7 +25,7 @@ from music_synthesis_tpu.models.specgan import (
 )
 from music_synthesis_tpu.train.state import GANState, make_optimizer
 
-__all__ = ["make_models", "make_train_state", "train_step", "forward_and_loss"]
+__all__ = ["make_models", "make_train_state", "train_step", "train_step_impl", "forward_and_loss"]
 
 
 def make_models(cfg: PipelineConfig):
@@ -68,17 +68,29 @@ def forward_and_loss(
     }
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def train_step(
-    cfg: PipelineConfig, state: GANState, real_mel: jax.Array
+def train_step_impl(
+    cfg: PipelineConfig,
+    state: GANState,
+    real_mel: jax.Array,
+    axis_name: str | None = None,
 ) -> tuple[GANState, dict[str, jax.Array]]:
-    """One alternating D/G update on normalized log-mel patches ``[B, T, M]``."""
+    """One alternating D/G update on normalized log-mel patches ``[B, T, M]``.
+
+    ``axis_name``: mesh axis for explicit DP collectives under shard_map
+    (grad/metric pmean; the latent draw is decorrelated per device by
+    folding the axis index into the rng). None under plain jit / pjit.
+    """
     gen, disc = make_models(cfg)
     t = cfg.train
     g_tx = make_optimizer(t.g_lr, t)
     d_tx = make_optimizer(t.d_lr, t)
 
+    def pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name else x
+
     rng, zk = jax.random.split(state.rng)
+    if axis_name:
+        zk = jax.random.fold_in(zk, jax.lax.axis_index(axis_name))
     z = jax.random.normal(
         zk, (real_mel.shape[0], cfg.specgan.latent_dim), real_mel.dtype
     )
@@ -91,6 +103,7 @@ def train_step(
         return hinge_d_loss(real_logit, fake_logit)
 
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_grads = pmean(d_grads)
     d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, d_updates)
 
@@ -105,6 +118,7 @@ def train_step(
     (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
         state.g_params
     )
+    g_grads = pmean(g_grads)
     g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
 
@@ -116,4 +130,7 @@ def train_step(
         d_opt=d_opt,
         rng=rng,
     )
-    return new_state, {"d_loss": d_loss, "g_loss": g_loss, **aux}
+    return new_state, pmean({"d_loss": d_loss, "g_loss": g_loss, **aux})
+
+
+train_step = jax.jit(train_step_impl, static_argnums=0, donate_argnums=1)

@@ -33,7 +33,7 @@ from music_synthesis_tpu.models.vocoder import Vocoder
 from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
 from music_synthesis_tpu.train.state import GANState, make_optimizer
 
-__all__ = ["make_models", "make_train_state", "train_step", "conditioning_mel"]
+__all__ = ["make_models", "make_train_state", "train_step", "train_step_impl", "conditioning_mel"]
 
 
 def make_models(cfg: PipelineConfig):
@@ -82,15 +82,26 @@ def make_train_state(cfg: PipelineConfig, rng: jax.Array) -> GANState:
     )
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def train_step(
-    cfg: PipelineConfig, state: GANState, wav: jax.Array
+def train_step_impl(
+    cfg: PipelineConfig,
+    state: GANState,
+    wav: jax.Array,
+    axis_name: str | None = None,
 ) -> tuple[GANState, dict[str, jax.Array]]:
-    """One alternating D/G update on a waveform batch ``[B, L]``."""
+    """One alternating D/G update on a waveform batch ``[B, L]``.
+
+    ``axis_name``: when running per-device under shard_map, the mesh axis to
+    pmean gradients/metrics over (explicit DP collective). Under plain jit or
+    jit-with-shardings leave None — XLA derives the reduction from the batch
+    sharding.
+    """
     gen, disc = make_models(cfg)
     t = cfg.train
     g_tx = make_optimizer(t.g_lr, t)
     d_tx = make_optimizer(t.d_lr, t)
+
+    def pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name else x
 
     mel = conditioning_mel(wav, cfg)
     fake = gen.apply({"params": state.g_params}, mel)
@@ -103,6 +114,7 @@ def train_step(
         return hinge_d_loss(real_logits, fake_logits)
 
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_grads = pmean(d_grads)
     d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, d_updates)
 
@@ -124,6 +136,7 @@ def train_step(
     (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
         state.g_params
     )
+    g_grads = pmean(g_grads)
     g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
 
@@ -135,5 +148,8 @@ def train_step(
         d_opt=d_opt,
         rng=state.rng,
     )
-    metrics = {"d_loss": d_loss, "g_loss": g_loss, **aux}
+    metrics = pmean({"d_loss": d_loss, "g_loss": g_loss, **aux})
     return new_state, metrics
+
+
+train_step = jax.jit(train_step_impl, static_argnums=0, donate_argnums=1)

@@ -48,7 +48,20 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def load_wav(path, target_sr: int = 22_050) -> np.ndarray:
-    """Read + downmix + resample to the front-end rate (SURVEY.md C1)."""
+def load_wav(path, target_sr: int = 22_050, use_native: bool = True) -> np.ndarray:
+    """Read + downmix + resample to the front-end rate (SURVEY.md C1).
+
+    Prefers the native C++ decoder/resampler (data/native.py) when built;
+    falls back to scipy otherwise.
+    """
+    if use_native:
+        from music_synthesis_tpu.data import native
+
+        if native.available():
+            with open(path, "rb") as fh:
+                sr, data = native.decode_wav(fh.read())
+            if sr == target_sr:
+                return data
+            return native.resample(data, sr, target_sr)
     sr, data = read_wav(path)
     return resample(data, sr, target_sr)

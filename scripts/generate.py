@@ -23,9 +23,15 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=4, help="clips to generate")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="generated")
+    ap.add_argument("--report", action="store_true",
+                    help="also write a listenable HTML report")
+    ap.add_argument("--device", choices=["cpu", "default"], default="default")
     args = ap.parse_args()
 
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -37,12 +43,38 @@ def main() -> None:
 
     cfg = E2E_INFERENCE
     key = jax.random.PRNGKey(args.seed)
-    s1 = stage1.make_train_state(cfg, jax.random.PRNGKey(0))
-    s2 = stage2.make_train_state(cfg, jax.random.PRNGKey(1))
+    print(f"device: {jax.devices()[0].platform}; building generators...",
+          flush=True)
+    # Only generator params are needed: init them directly. Checkpoints are
+    # restored against eval_shape templates (no discriminator/optimizer
+    # compute ever runs here).
+    from music_synthesis_tpu.models.specgan import SpectrogramGenerator
+    from music_synthesis_tpu.models.vocoder import Vocoder
+
+    import jax.numpy as jnp
+    import types
+
     if args.stage1:
-        s1 = CheckpointManager(args.stage1).restore(s1)
+        tmpl = jax.eval_shape(
+            stage1.make_train_state, cfg, jax.random.PRNGKey(0)
+        )
+        g1 = CheckpointManager(args.stage1).restore(tmpl).g_params
+    else:
+        g1 = SpectrogramGenerator(cfg.specgan).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.specgan.latent_dim))
+        )["params"]
     if args.stage2:
-        s2 = CheckpointManager(args.stage2).restore(s2)
+        tmpl = jax.eval_shape(
+            stage2.make_train_state, cfg, jax.random.PRNGKey(1)
+        )
+        g2 = CheckpointManager(args.stage2).restore(tmpl).g_params
+    else:
+        g2 = Vocoder(cfg.vocoder).init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.vocoder.n_mels))
+        )["params"]
+    s1 = types.SimpleNamespace(g_params=g1)
+    s2 = types.SimpleNamespace(g_params=g2)
+    print("generators ready; compiling fused two-stage program...", flush=True)
 
     z = jax.random.normal(key, (args.n, cfg.specgan.latent_dim))
     fn = jax.jit(generate, static_argnums=0)
@@ -68,6 +100,23 @@ def main() -> None:
         p = outdir / f"sample_{i:03d}.wav"
         write_wav(p, cfg.frontend.sample_rate, np.asarray(wav[i]))
         print(f"wrote {p}")
+
+    if args.report:
+        from music_synthesis_tpu.models.specgan import SpectrogramGenerator
+        from music_synthesis_tpu.utils.report import write_report
+
+        mel = SpectrogramGenerator(cfg.specgan).apply(
+            {"params": s1.g_params}, z
+        )
+        rp = write_report(
+            outdir / "report.html",
+            "two-stage generation",
+            [(f"sample {i}", np.asarray(wav[i])) for i in range(args.n)],
+            cfg.frontend.sample_rate,
+            [np.asarray(mel[i]) for i in range(args.n)],
+            metrics={"rtf_x_realtime": audio_s / run_s},
+        )
+        print(f"wrote {rp}")
 
 
 if __name__ == "__main__":

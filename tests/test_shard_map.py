@@ -1,0 +1,92 @@
+"""shard_map DP + sequence-sharded vocoding tests (SURVEY.md §5.7, §5.8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_synthesis_tpu.config import TINY, PipelineConfig, TrainConfig
+from music_synthesis_tpu.models.vocoder import Vocoder
+from music_synthesis_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from music_synthesis_tpu.parallel.seqshard import (
+    make_seqshard_vocode,
+    receptive_field_frames,
+)
+from music_synthesis_tpu.parallel.shard_map_dp import (
+    make_shardmap_stage1_step,
+    make_shardmap_stage2_step,
+)
+from music_synthesis_tpu.train import stage1, stage2
+
+KEY = jax.random.PRNGKey(3)
+
+CFG = PipelineConfig(
+    frontend=TINY.frontend,
+    specgan=TINY.specgan,
+    vocoder=TINY.vocoder,
+    msd=TINY.msd,
+    mrd=TINY.mrd,
+    stft_loss=TINY.stft_loss,
+    infer=TINY.infer,
+    train=TrainConfig(batch_size=8, segment_length=2048, mesh_shape=(8,)),
+)
+
+
+def test_shardmap_stage2_matches_single_device():
+    """Explicit-pmean DP == single-device step (stage 2 has no rng)."""
+    mesh = make_mesh((8,), ("data",))
+    wav = 0.5 * jnp.tanh(jax.random.normal(jax.random.PRNGKey(1), (8, 2048)))
+
+    ref_state = stage2.make_train_state(CFG, KEY)
+    ref_state, ref_metrics = stage2.train_step(CFG, ref_state, wav)
+
+    sm_state = replicate_state(stage2.make_train_state(CFG, KEY), mesh)
+    sm_step = make_shardmap_stage2_step(CFG, mesh)
+    sm_state, sm_metrics = sm_step(sm_state, shard_batch(wav, mesh))
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(ref_metrics[k]), float(sm_metrics[k]), rtol=2e-4, atol=1e-5
+        )
+    for a, b in zip(
+        jax.tree.leaves(ref_state.g_params), jax.tree.leaves(sm_state.g_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
+
+
+def test_shardmap_stage1_runs_decorrelated():
+    """Stage-1 shard_map step executes; per-device z decorrelated by design."""
+    mesh = make_mesh((8,), ("data",))
+    mel = jax.random.uniform(
+        jax.random.PRNGKey(2), (8, CFG.specgan.n_frames, CFG.specgan.n_mels),
+        minval=-1.0, maxval=1.0,
+    )
+    state = replicate_state(stage1.make_train_state(CFG, KEY), mesh)
+    step = make_shardmap_stage1_step(CFG, mesh)
+    state, metrics = step(state, shard_batch(mel, mesh))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    assert int(state.step) == 1
+
+
+def test_receptive_field_reasonable():
+    rf = receptive_field_frames(TINY.vocoder)
+    assert 4 <= rf <= 16
+
+
+def test_seqshard_vocode_matches_direct_interior():
+    """Halo-exchange sharded vocoding == full vocoding in the interior."""
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    voc = Vocoder(TINY.vocoder)
+    mel = jax.random.normal(KEY, (2, 64, TINY.vocoder.n_mels))
+    params = voc.init(jax.random.PRNGKey(0), mel)["params"]
+    direct = np.asarray(voc.apply({"params": params}, mel))
+
+    fn = make_seqshard_vocode(voc, mesh)
+    sharded = np.asarray(fn(params, mel))
+    assert sharded.shape == direct.shape
+    hop = TINY.vocoder.hop_length
+    rf = receptive_field_frames(TINY.vocoder) + 2
+    # Interior: away from the two global edges by one halo.
+    mid = slice(rf * hop, -rf * hop)
+    np.testing.assert_allclose(sharded[:, mid], direct[:, mid], atol=2e-5)
