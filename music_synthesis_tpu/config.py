@@ -177,7 +177,6 @@ class InferConfig:
 
     chunk_frames: int = 64  # mel frames per vocoder chunk
     hop_frames: int = 32  # chunk advance; overlap = chunk - hop frames
-    batch_chunks: bool = True  # vocode all chunks as one batch
 
 
 @dataclasses.dataclass(frozen=True)

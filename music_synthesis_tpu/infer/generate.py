@@ -26,7 +26,13 @@ from music_synthesis_tpu.ops.overlap_add import (
     overlap_add,
 )
 
-__all__ = ["chunk_frames", "vocode_chunked", "generate", "generate_direct"]
+__all__ = [
+    "chunk_frames",
+    "vocode_chunked",
+    "generate",
+    "generate_direct",
+    "generate_long",
+]
 
 
 def chunk_frames(mel: jax.Array, chunk: int, hop: int) -> jax.Array:
@@ -85,3 +91,43 @@ def generate_direct(
     the chunked path is validated against and a perf comparison point."""
     mel = SpectrogramGenerator(cfg.specgan).apply({"params": specgan_params}, z)
     return Vocoder(cfg.vocoder).apply({"params": vocoder_params}, mel)
+
+
+def generate_long(
+    cfg: PipelineConfig,
+    specgan_params,
+    vocoder_params,
+    z: jax.Array,
+    crossfade_frames: int = 8,
+) -> jax.Array:
+    """Arbitrary-duration synthesis: ``z[B, N, Z] -> wav[B, L]``.
+
+    N latent draws each produce an n_frames mel patch; patches are stitched
+    into one long spectrogram by mel-domain crossfade (COLA overlap-add over
+    the frame axis with hop = n_frames - crossfade_frames), then the whole
+    long mel goes through the chunked vocoder + waveform OLA. Duration is
+    selected by N: seconds ~= (N * (n_frames - crossfade_frames) +
+    crossfade_frames) * hop / sample_rate. Still one jitted XLA program.
+    """
+    b, n, zdim = z.shape
+    t = cfg.specgan.n_frames
+    hop_t = t - crossfade_frames
+    gen = SpectrogramGenerator(cfg.specgan)
+    mel = gen.apply({"params": specgan_params}, z.reshape(b * n, zdim))
+    mel = mel.reshape(b, n, t, cfg.specgan.n_mels)
+    if crossfade_frames > 0:
+        window = ola_window(t, hop_t)[:, None]  # over frames, all mel bins
+        # OLA over the frame axis: move mel bins ahead of the chunk axis so
+        # chunks sit at [..., N, T] as overlap_add expects.
+        stacked = jnp.moveaxis(mel * window, -1, 1)  # [B, M, N, T]
+        stitched = overlap_add(stacked, hop_t)  # [B, M, T_long]
+        norm = ola_normalizer(ola_window(t, hop_t), n, hop_t)
+        mel_long = jnp.moveaxis(stitched / norm, 1, -1)  # [B, T_long, M]
+    else:
+        mel_long = mel.reshape(b, n * t, cfg.specgan.n_mels)
+    # Trim so chunking stays compatible: (T - chunk) % hop_frames == 0.
+    ic = cfg.infer
+    t_long = mel_long.shape[1]
+    usable = t_long - (t_long - ic.chunk_frames) % ic.hop_frames
+    mel_long = mel_long[:, :usable]
+    return vocode_chunked(Vocoder(cfg.vocoder), vocoder_params, mel_long, cfg)

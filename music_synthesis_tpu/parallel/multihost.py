@@ -1,0 +1,52 @@
+"""Multi-host (multi-process) initialization (SURVEY.md §5.8, DCN scope).
+
+One v5e-8 slice is single-host; larger slices / multi-slice runs launch one
+process per host. This wrapper standardizes `jax.distributed.initialize` from
+the usual environment variables and documents the data-sharding contract:
+each process feeds only its addressable shard (AudioDataset already takes
+process_index/process_count), and the same jit-with-shardings train step
+works unchanged — XLA routes intra-slice collectives over ICI and
+inter-slice over DCN.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+__all__ = ["initialize", "local_batch_slice"]
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-process JAX. No-op for single-process runs.
+
+    Defaults come from JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID (or the TPU metadata auto-detection when all are None on
+    Cloud TPU).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes in (None, 1):
+        return  # single process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The rows of the global batch this process should feed."""
+    per = global_batch // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)

@@ -14,7 +14,22 @@ from typing import Any
 import jax
 import orbax.checkpoint as ocp
 
-__all__ = ["CheckpointManager"]
+__all__ = ["CheckpointManager", "abstract_state"]
+
+
+def abstract_state(cfg, stage: int):
+    """Shape/dtype-only GANState template for restore — no compute runs.
+
+    Use when restoring on a machine/role that never trains (e.g. inference
+    servers loading only generator weights).
+    """
+    import functools
+
+    from music_synthesis_tpu.train import stage1 as s1, stage2 as s2
+
+    make = s1.make_train_state if stage == 1 else s2.make_train_state
+    # cfg is static (not an array); close over it for eval_shape.
+    return jax.eval_shape(functools.partial(make, cfg), jax.random.PRNGKey(0))
 
 
 class CheckpointManager:

@@ -104,6 +104,7 @@ def train_step_impl(
 
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
     d_grads = pmean(d_grads)
+    d_grad_norm = optax.global_norm(d_grads)
     d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, d_updates)
 
@@ -119,6 +120,7 @@ def train_step_impl(
         state.g_params
     )
     g_grads = pmean(g_grads)
+    g_grad_norm = optax.global_norm(g_grads)
     g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
 
@@ -130,7 +132,10 @@ def train_step_impl(
         d_opt=d_opt,
         rng=rng,
     )
-    return new_state, pmean({"d_loss": d_loss, "g_loss": g_loss, **aux})
+    metrics = pmean({"d_loss": d_loss, "g_loss": g_loss, **aux})
+    metrics["d_grad_norm"] = d_grad_norm
+    metrics["g_grad_norm"] = g_grad_norm
+    return new_state, metrics
 
 
 train_step = jax.jit(train_step_impl, static_argnums=0, donate_argnums=1)

@@ -115,6 +115,7 @@ def train_step_impl(
 
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
     d_grads = pmean(d_grads)
+    d_grad_norm = optax.global_norm(d_grads)
     d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, d_updates)
 
@@ -137,6 +138,7 @@ def train_step_impl(
         state.g_params
     )
     g_grads = pmean(g_grads)
+    g_grad_norm = optax.global_norm(g_grads)
     g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
 
@@ -149,6 +151,8 @@ def train_step_impl(
         rng=state.rng,
     )
     metrics = pmean({"d_loss": d_loss, "g_loss": g_loss, **aux})
+    metrics["d_grad_norm"] = d_grad_norm
+    metrics["g_grad_norm"] = g_grad_norm
     return new_state, metrics
 
 

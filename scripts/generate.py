@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--report", action="store_true",
                     help="also write a listenable HTML report")
     ap.add_argument("--device", choices=["cpu", "default"], default="default")
+    ap.add_argument("--preset", choices=["default", "tiny"], default="default")
     args = ap.parse_args()
 
     import jax
@@ -35,13 +36,13 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from music_synthesis_tpu.config import E2E_INFERENCE
+    from music_synthesis_tpu.config import E2E_INFERENCE, TINY
     from music_synthesis_tpu.infer.generate import generate
     from music_synthesis_tpu.train import stage1, stage2
     from music_synthesis_tpu.train.checkpoint import CheckpointManager
     from music_synthesis_tpu.utils.wav import write_wav
 
-    cfg = E2E_INFERENCE
+    cfg = TINY if args.preset == "tiny" else E2E_INFERENCE
     key = jax.random.PRNGKey(args.seed)
     print(f"device: {jax.devices()[0].platform}; building generators...",
           flush=True)
@@ -54,20 +55,20 @@ def main() -> None:
     import jax.numpy as jnp
     import types
 
+    from music_synthesis_tpu.train.checkpoint import abstract_state
+
     if args.stage1:
-        tmpl = jax.eval_shape(
-            stage1.make_train_state, cfg, jax.random.PRNGKey(0)
-        )
-        g1 = CheckpointManager(args.stage1).restore(tmpl).g_params
+        g1 = CheckpointManager(args.stage1).restore(
+            abstract_state(cfg, stage=1)
+        ).g_params
     else:
         g1 = SpectrogramGenerator(cfg.specgan).init(
             jax.random.PRNGKey(0), jnp.zeros((1, cfg.specgan.latent_dim))
         )["params"]
     if args.stage2:
-        tmpl = jax.eval_shape(
-            stage2.make_train_state, cfg, jax.random.PRNGKey(1)
-        )
-        g2 = CheckpointManager(args.stage2).restore(tmpl).g_params
+        g2 = CheckpointManager(args.stage2).restore(
+            abstract_state(cfg, stage=2)
+        ).g_params
     else:
         g2 = Vocoder(cfg.vocoder).init(
             jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.vocoder.n_mels))

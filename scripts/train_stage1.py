@@ -23,13 +23,17 @@ def main() -> None:
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=25)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--preset", choices=["default", "tiny"], default="default",
+                    help="'tiny' = small models for smoke runs / CPU")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from music_synthesis_tpu.config import PipelineConfig, TrainConfig
+    import dataclasses
+
+    from music_synthesis_tpu.config import TINY, PipelineConfig, TrainConfig
     from music_synthesis_tpu.data.dataset import AudioDataset, make_synthetic_corpus
     from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
     from music_synthesis_tpu.parallel.dp import make_dp_stage1_step
@@ -40,8 +44,10 @@ def main() -> None:
     from music_synthesis_tpu.train.checkpoint import CheckpointManager
     from music_synthesis_tpu.train.metrics import MetricsLogger
 
-    cfg = PipelineConfig(
-        train=TrainConfig(batch_size=args.batch, mesh_shape=(args.mesh,))
+    base = TINY if args.preset == "tiny" else PipelineConfig()
+    cfg = dataclasses.replace(
+        base,
+        train=TrainConfig(batch_size=args.batch, mesh_shape=(args.mesh,)),
     )
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)

@@ -32,13 +32,17 @@ def main() -> None:
     ap.add_argument("--pallas-frontend", action="store_true",
                     help="use the fused Pallas front-end kernel in the step")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--preset", choices=["default", "tiny"], default="default",
+                    help="'tiny' = small models for smoke runs / CPU")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from music_synthesis_tpu.config import PipelineConfig, TrainConfig
+    import dataclasses
+
+    from music_synthesis_tpu.config import TINY, PipelineConfig, TrainConfig
     from music_synthesis_tpu.data.dataset import AudioDataset, make_synthetic_corpus
     from music_synthesis_tpu.parallel.dp import make_dp_stage2_step
     from music_synthesis_tpu.parallel.mesh import (
@@ -49,13 +53,15 @@ def main() -> None:
     from music_synthesis_tpu.train.metrics import MetricsLogger
     from music_synthesis_tpu.utils.wav import write_wav
 
-    cfg = PipelineConfig(
+    base = TINY if args.preset == "tiny" else PipelineConfig()
+    cfg = dataclasses.replace(
+        base,
         train=TrainConfig(
             batch_size=args.batch,
             segment_length=args.segment,
             mesh_shape=(args.mesh,),
             use_pallas_frontend=args.pallas_frontend,
-        )
+        ),
     )
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)

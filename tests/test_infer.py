@@ -65,3 +65,48 @@ def test_generate_direct_shape():
     z = jax.random.normal(KEY, (1, cfg.specgan.latent_dim))
     wav = generate_direct(cfg, s1.g_params, s2.g_params, z)
     assert wav.shape == (1, cfg.specgan.n_frames * cfg.vocoder.hop_length)
+
+
+def test_generate_long_duration_control():
+    """z[B, N, Z] stitches N patches into one long waveform (C17 'seconds')."""
+    from music_synthesis_tpu.infer.generate import generate_long
+
+    cfg = TINY
+    s1 = stage1.make_train_state(cfg, KEY)
+    s2 = stage2.make_train_state(cfg, jax.random.PRNGKey(1))
+    n_patches, crossfade = 3, 4
+    z = jax.random.normal(KEY, (2, n_patches, cfg.specgan.latent_dim))
+    wav = jax.jit(generate_long, static_argnums=(0, 4))(
+        cfg, s1.g_params, s2.g_params, z, crossfade
+    )
+    t = cfg.specgan.n_frames
+    t_long = (n_patches - 1) * (t - crossfade) + t
+    usable = t_long - (t_long - cfg.infer.chunk_frames) % cfg.infer.hop_frames
+    assert wav.shape == (2, usable * cfg.vocoder.hop_length)
+    assert np.isfinite(np.asarray(wav)).all()
+    # Longer than a single patch, as promised.
+    assert wav.shape[1] > t * cfg.vocoder.hop_length
+
+
+def test_generate_long_mel_stitching_is_cola():
+    """With identical patches, crossfade stitching reproduces the patch
+    values exactly in every interior frame (COLA over the frame axis)."""
+    import dataclasses
+
+    from music_synthesis_tpu.infer import generate as gen_mod
+
+    cfg = TINY
+    t, m = cfg.specgan.n_frames, cfg.specgan.n_mels
+    const = jnp.broadcast_to(
+        jnp.linspace(-1, 1, m), (1, 4, t, m)
+    )  # same patch 4x
+    window = gen_mod.ola_window(t, t - 4)[:, None]
+    stacked = jnp.moveaxis(const * window, -1, 1)
+    stitched = gen_mod.overlap_add(stacked, t - 4)
+    norm = gen_mod.ola_normalizer(gen_mod.ola_window(t, t - 4), 4, t - 4)
+    out = jnp.moveaxis(stitched / norm, 1, -1)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 2:-2]),
+        np.broadcast_to(np.linspace(-1, 1, m), (out.shape[1] - 4, m)),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -131,3 +131,20 @@ def test_gradients_flow_everywhere():
     for path, g in flat.items():
         assert np.isfinite(np.asarray(g)).all(), path
         assert np.abs(np.asarray(g)).max() > 0, f"zero grad at {path}"
+
+
+def test_bfloat16_compute_dtype_smoke():
+    """bf16 conv path: f32 params/outputs, finite values, close to f32."""
+    import dataclasses
+
+    cfg32 = TINY.vocoder
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    mel = jax.random.normal(KEY, (1, 8, cfg32.n_mels))
+    m32, m16 = Vocoder(cfg32), Vocoder(cfg16)
+    params = m32.init(KEY, mel)
+    w32 = np.asarray(m32.apply(params, mel))
+    w16 = np.asarray(m16.apply(params, mel))  # same params, bf16 compute
+    assert w16.dtype == np.float32
+    assert np.isfinite(w16).all()
+    # bf16 has ~3 decimal digits; outputs are tanh-bounded.
+    assert np.abs(w32 - w16).max() < 0.1
