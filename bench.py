@@ -2,22 +2,35 @@
 
 Headline metric: real-time factor of the fused two-stage inference program
 (spectrogram generator -> chunked vocoder -> overlap-add, one XLA program)
-on the current default device — generated-audio-seconds per wall-second per
-chip. The driver target is >= 500x realtime per v5e chip (BASELINE.json:5);
-``vs_baseline`` reports the ratio against that 500x target (no published
-reference numbers exist — BASELINE.md).
+— generated-audio-seconds per wall-second per chip. Target >= 500x realtime
+per v5e chip (BASELINE.json:5); ``vs_baseline`` is the ratio against that
+target (no published reference numbers exist — BASELINE.md).
+
+Methodology — this environment has two hazards that inflate naive numbers,
+both defended against:
+  1. The execution stack serves identical (program, input) pairs from a
+     cache that persists across processes -> fresh latents derived on device
+     from a per-run random seed.
+  2. ``block_until_ready`` can return before async work completes, and a
+     single synchronous dispatch pays a ~30 ms tunnel round trip that hides
+     the chip -> the benchmark loop runs ON DEVICE (lax.scan over fresh
+     latents, one 4-byte checksum out, so nothing can be elided), and the
+     fixed dispatch overhead is subtracted via an n=1 run.
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def log(*a):
@@ -34,7 +47,9 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev.platform} / {dev.device_kind}")
 
-    key = jax.random.PRNGKey(0)
+    seed = int.from_bytes(os.urandom(4), "little")
+    log(f"bench seed: {seed}")
+    key = jax.random.PRNGKey(seed)
     k1, k2, kz = jax.random.split(key, 3)
     z0 = jnp.zeros((1, cfg.specgan.latent_dim), jnp.float32)
     specgan_params = SpectrogramGenerator(cfg.specgan).init(k1, z0)["params"]
@@ -42,38 +57,49 @@ def main() -> None:
     vocoder_params = Vocoder(cfg.vocoder).init(k2, mel0)["params"]
 
     batch = 16
-    z = jax.random.normal(kz, (batch, cfg.specgan.latent_dim), jnp.float32)
-    fn = jax.jit(generate, static_argnums=0)
-
-    def call(i: int):
-        # Fresh latents every call: repeated identical invocations can be
-        # served from execution caches and would overstate throughput.
-        zi = jax.random.normal(
-            jax.random.fold_in(kz, i), (batch, cfg.specgan.latent_dim)
-        )
-        return fn(cfg, specgan_params, vocoder_params, zi)
-
     samples_per_call = batch * cfg.specgan.n_frames * cfg.vocoder.hop_length
     audio_sec_per_call = samples_per_call / cfg.frontend.sample_rate
     log(f"batch={batch} frames={cfg.specgan.n_frames} "
         f"-> {audio_sec_per_call:.2f} audio-seconds per call")
 
-    # Warmup / compile.
-    t0 = time.perf_counter()
-    out = fn(cfg, specgan_params, vocoder_params, z)
-    jax.block_until_ready(out)
-    log(f"compile+first call: {time.perf_counter() - t0:.1f}s; "
-        f"out shape {out.shape}")
+    @functools.partial(jax.jit, static_argnums=0)
+    def many(n: int, loop_key):
+        """n fused two-stage generations on device; checksum forces all."""
 
-    jax.block_until_ready(call(10_000))  # warm the fresh-z path
-    n_iters = 20
+        def body(carry, i):
+            zi = jax.random.normal(
+                jax.random.fold_in(loop_key, i),
+                (batch, cfg.specgan.latent_dim),
+            )
+            wav = generate(cfg, specgan_params, vocoder_params, zi)
+            return carry + jnp.sum(jnp.abs(wav)), None
+
+        total, _ = lax.scan(body, jnp.float32(0), jnp.arange(n))
+        return total
+
+    def run(n: int, r: int) -> float:
+        t0 = time.perf_counter()
+        v = float(many(n, jax.random.fold_in(kz, 100 * n + r)))
+        assert v > 0, "degenerate output"
+        return time.perf_counter() - t0
+
+    n_iters = 41
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = call(i)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    rtf = audio_sec_per_call * n_iters / elapsed
-    log(f"{n_iters} iters in {elapsed:.3f}s -> RTF {rtf:.0f}x")
+    run(1, 0)
+    run(n_iters, 0)
+    log(f"compile+warm both sizes: {time.perf_counter() - t0:.1f}s")
+
+    per_call = []
+    for r in range(1, 4):
+        t1 = run(1, r)
+        tn = run(n_iters, r)
+        per = (tn - t1) / (n_iters - 1)
+        per_call.append(per)
+        log(f"run {r}: n=1 {t1 * 1e3:.1f} ms, n={n_iters} {tn * 1e3:.1f} ms "
+            f"-> {per * 1e3:.2f} ms/call")
+    best = min(per_call)
+    rtf = audio_sec_per_call / best
+    log(f"best: {best * 1e3:.2f} ms/call -> RTF {rtf:.0f}x")
 
     print(json.dumps({
         "metric": "fused_two_stage_inference_rtf",

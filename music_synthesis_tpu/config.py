@@ -92,6 +92,10 @@ class VocoderConfig:
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native mixed precision
+    # "transpose": ConvTranspose1d(k=2u, stride=u) — the reference family's
+    # choice. "repeat": nearest-neighbor repeat + Conv1d(k=2u+1) — same
+    # receptive field, different lowering; pick by profile (SURVEY.md §7 #2).
+    upsample_mode: str = "transpose"
 
     @property
     def hop_length(self) -> int:

@@ -89,11 +89,21 @@ class Vocoder(nn.Module):
         for i, u in enumerate(cfg.upsample_factors):
             channels //= 2
             x = nn.leaky_relu(x, cfg.leaky_slope)
-            x = WNConvTranspose1d(
-                channels, kernel_size=2 * u, stride=u,
-                use_weight_norm=cfg.use_weight_norm,
-                compute_dtype=cfg.compute_dtype, name=f"upsample_{i}",
-            )(x)
+            if cfg.upsample_mode == "transpose":
+                x = WNConvTranspose1d(
+                    channels, kernel_size=2 * u, stride=u,
+                    use_weight_norm=cfg.use_weight_norm,
+                    compute_dtype=cfg.compute_dtype, name=f"upsample_{i}",
+                )(x)
+            elif cfg.upsample_mode == "repeat":
+                x = jnp.repeat(x, u, axis=1)
+                x = WNConv(
+                    channels, (2 * u + 1,), padding="reflect",
+                    use_weight_norm=cfg.use_weight_norm,
+                    compute_dtype=cfg.compute_dtype, name=f"upsample_{i}",
+                )(x)
+            else:
+                raise ValueError(f"unknown upsample_mode {cfg.upsample_mode}")
             x = ResidualStack(
                 channels, cfg.res_dilations, cfg.res_kernel,
                 cfg.leaky_slope, cfg.use_weight_norm, cfg.compute_dtype,

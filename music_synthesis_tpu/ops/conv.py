@@ -109,11 +109,15 @@ class WNConv(nn.Module):
             feature_group_count=self.groups,
             preferred_element_type=jnp.float32,
         )
+        # Activations flow in compute_dtype between layers (accumulation was
+        # f32 via preferred_element_type); params/bias remain f32 for the
+        # optimizer.
+        out = out.astype(cdt)
         if self.use_bias:
             b = self.param(
                 "b", nn.initializers.zeros, (self.features,), jnp.float32
             )
-            out = out + b
+            out = out + b.astype(cdt)
         return out
 
 
@@ -166,11 +170,12 @@ class WNConvTranspose1d(nn.Module):
             dimension_numbers=("NHC", "HIO", "NHC"),
             preferred_element_type=jnp.float32,
         )
+        out = out.astype(cdt)
         if self.use_bias:
             b = self.param(
                 "b", nn.initializers.zeros, (self.features,), jnp.float32
             )
-            out = out + b
+            out = out + b.astype(cdt)
         return out
 
 

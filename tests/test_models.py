@@ -148,3 +148,14 @@ def test_bfloat16_compute_dtype_smoke():
     assert np.isfinite(w16).all()
     # bf16 has ~3 decimal digits; outputs are tanh-bounded.
     assert np.abs(w32 - w16).max() < 0.1
+
+
+def test_vocoder_repeat_upsample_mode():
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY.vocoder, upsample_mode="repeat")
+    model = Vocoder(cfg)
+    mel = jax.random.normal(KEY, (1, 8, cfg.n_mels))
+    wav = model.apply(model.init(KEY, mel), mel)
+    assert wav.shape == (1, 8 * 256)
+    assert np.isfinite(np.asarray(wav)).all()
