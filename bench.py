@@ -38,12 +38,15 @@ def log(*a):
 
 
 def main() -> None:
-    from music_synthesis_tpu.config import E2E_INFERENCE
+    from music_synthesis_tpu.config import E2E_INFERENCE, E2E_INFERENCE_FAST
     from music_synthesis_tpu.infer.generate import generate
     from music_synthesis_tpu.models.specgan import SpectrogramGenerator
     from music_synthesis_tpu.models.vocoder import Vocoder
 
-    cfg = E2E_INFERENCE
+    # Flagship serving config: iSTFT-head vocoder (see config.py /
+    # docs/DESIGN.md). The reference-faithful waveform-head preset is also
+    # measured and logged to stderr.
+    cfg = E2E_INFERENCE_FAST
     dev = jax.devices()[0]
     log(f"device: {dev.platform} / {dev.device_kind}")
 
@@ -99,7 +102,39 @@ def main() -> None:
             f"-> {per * 1e3:.2f} ms/call")
     best = min(per_call)
     rtf = audio_sec_per_call / best
-    log(f"best: {best * 1e3:.2f} ms/call -> RTF {rtf:.0f}x")
+    log(f"best (istft-head flagship): {best * 1e3:.2f} ms/call "
+        f"-> RTF {rtf:.0f}x")
+
+    # Reference-faithful waveform-head preset, same methodology (stderr).
+    wf = E2E_INFERENCE
+    wf_voc = Vocoder(wf.vocoder).init(k2, mel0)["params"]
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def many_wf(n: int, loop_key):
+        def body(carry, i):
+            zi = jax.random.normal(
+                jax.random.fold_in(loop_key, i),
+                (batch, wf.specgan.latent_dim),
+            )
+            wav = generate(wf, specgan_params, wf_voc, zi)
+            return carry + jnp.sum(jnp.abs(wav)), None
+
+        total, _ = lax.scan(body, jnp.float32(0), jnp.arange(n))
+        return total
+
+    def run_wf(n: int, r: int) -> float:
+        t0 = time.perf_counter()
+        v = float(many_wf(n, jax.random.fold_in(kz, 7000 * n + r)))
+        assert v > 0
+        return time.perf_counter() - t0
+
+    run_wf(1, 0)
+    run_wf(n_iters, 0)
+    wf_best = min(
+        (run_wf(n_iters, r) - run_wf(1, r)) / (n_iters - 1) for r in (1, 2)
+    )
+    log(f"waveform-head preset: {wf_best * 1e3:.2f} ms/call "
+        f"-> RTF {audio_sec_per_call / wf_best:.0f}x")
 
     print(json.dumps({
         "metric": "fused_two_stage_inference_rtf",

@@ -110,6 +110,26 @@ class Vocoder(nn.Module):
                 name=f"res_{i}",
             )(x)
         x = nn.leaky_relu(x, cfg.leaky_slope)
+        if cfg.head == "istft":
+            # iSTFTNet-style head (PAPERS.md): predict log-magnitude and
+            # phase at the pre-upsampled rate, synthesize via inverse STFT
+            # expressed as a GEMM. Avoids the lane-starved final upsampling
+            # stages entirely.
+            from music_synthesis_tpu.ops.istft import istft_synthesis
+
+            n_bins = cfg.istft_n_fft // 2 + 1
+            spec = WNConv(
+                2 * n_bins, (cfg.output_kernel,), padding="reflect",
+                use_weight_norm=cfg.use_weight_norm,
+                compute_dtype=cfg.compute_dtype, name="conv_out",
+            )(x).astype(jnp.float32)
+            log_mag, phase = spec[..., :n_bins], spec[..., n_bins:]
+            mag = jnp.exp(jnp.clip(log_mag, -8.0, 6.0))
+            wav = istft_synthesis(
+                mag * jnp.cos(phase), mag * jnp.sin(phase),
+                cfg.istft_n_fft, cfg.istft_hop,
+            )
+            return jnp.clip(wav, -1.0, 1.0)
         x = WNConv(
             1, (cfg.output_kernel,), padding="reflect",
             use_weight_norm=cfg.use_weight_norm,

@@ -110,3 +110,42 @@ def test_generate_long_mel_stitching_is_cola():
         np.broadcast_to(np.linspace(-1, 1, m), (out.shape[1] - 4, m)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_istft_synthesis_matches_numpy_irfft():
+    from music_synthesis_tpu.ops.istft import irdft_matrices, istft_synthesis
+
+    rng = np.random.default_rng(0)
+    n_fft = 16
+    re = rng.standard_normal((1, 12, n_fft // 2 + 1)).astype(np.float32)
+    im = rng.standard_normal((1, 12, n_fft // 2 + 1)).astype(np.float32)
+    im[..., 0] = 0.0
+    im[..., -1] = 0.0
+    ic, is_ = irdft_matrices(n_fft)
+    frames = re @ ic + im @ is_
+    want = np.fft.irfft(re + 1j * im, n=n_fft, axis=-1)
+    np.testing.assert_allclose(frames, want, atol=1e-5)
+    wav = istft_synthesis(jnp.asarray(re), jnp.asarray(im), n_fft, 4)
+    assert wav.shape == (1, 12 * 4)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_vocoder_istft_head():
+    import dataclasses
+
+    from music_synthesis_tpu.models.vocoder import Vocoder
+
+    cfg = dataclasses.replace(
+        TINY.vocoder,
+        head="istft",
+        upsample_factors=(8, 8),
+        istft_n_fft=16,
+        istft_hop=4,
+    )
+    assert cfg.hop_length == 256  # 8*8*4
+    model = Vocoder(cfg)
+    mel = jax.random.normal(KEY, (2, 8, cfg.n_mels))
+    wav = model.apply(model.init(KEY, mel), mel)
+    assert wav.shape == (2, 8 * 256)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert np.abs(np.asarray(wav)).max() <= 1.0

@@ -97,3 +97,23 @@ def test_checkpoint_restore_bitwise(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(m_direct[k]), np.asarray(m_resumed[k])
         )
+
+
+def test_stage2_trains_with_istft_head():
+    """The fast iSTFT-head vocoder trains under the same GAN recipe."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY,
+        vocoder=dataclasses.replace(
+            TINY.vocoder, head="istft", upsample_factors=(8, 8),
+            istft_n_fft=16, istft_hop=4,
+        ),
+    )
+    assert cfg.vocoder.hop_length == 256
+    state = stage2.make_train_state(cfg, KEY)
+    wav = _wav_batch(jax.random.PRNGKey(5), cfg)
+    for _ in range(2):
+        state, m = stage2.train_step(cfg, state, wav)
+    assert all(np.isfinite(float(v)) for v in m.values())
+    assert float(m["g_grad_norm"]) > 0
