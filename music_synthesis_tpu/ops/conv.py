@@ -100,6 +100,10 @@ class WNConv(nn.Module):
             x.shape, kernel.shape,
             (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"),
         )
+        # Activations flow in compute_dtype between layers; the MXU still
+        # accumulates bf16 products in f32 internally. (Requesting
+        # preferred_element_type=f32 here would make the AD cotangent f32
+        # against bf16 residuals and break the transpose conv.)
         out = lax.conv_general_dilated(
             x.astype(cdt), kernel.astype(cdt),
             window_strides=strides,
@@ -107,12 +111,7 @@ class WNConv(nn.Module):
             rhs_dilation=dilations,
             dimension_numbers=dn,
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
         )
-        # Activations flow in compute_dtype between layers (accumulation was
-        # f32 via preferred_element_type); params/bias remain f32 for the
-        # optimizer.
-        out = out.astype(cdt)
         if self.use_bias:
             b = self.param(
                 "b", nn.initializers.zeros, (self.features,), jnp.float32
@@ -168,9 +167,7 @@ class WNConvTranspose1d(nn.Module):
             strides=(self.stride,),
             padding="SAME",
             dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32,
         )
-        out = out.astype(cdt)
         if self.use_bias:
             b = self.param(
                 "b", nn.initializers.zeros, (self.features,), jnp.float32
