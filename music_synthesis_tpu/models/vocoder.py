@@ -124,12 +124,17 @@ class Vocoder(nn.Module):
                 compute_dtype=cfg.compute_dtype, name="conv_out",
             )(x).astype(jnp.float32)
             log_mag, phase = spec[..., :n_bins], spec[..., n_bins:]
-            mag = jnp.exp(jnp.clip(log_mag, -8.0, 6.0))
+            # Soft-bounded magnitude: exp saturating at e^2 per bin keeps the
+            # head expressive while preventing early-training blow-ups.
+            mag = jnp.exp(2.0 * jnp.tanh(log_mag))
             wav = istft_synthesis(
                 mag * jnp.cos(phase), mag * jnp.sin(phase),
                 cfg.istft_n_fft, cfg.istft_hop,
             )
-            return jnp.clip(wav, -1.0, 1.0)
+            # tanh, not clip: a hard clip zeroes gradients once saturated
+            # (observed killing the generator mid-training); tanh matches the
+            # waveform head's output bound and keeps gradients alive.
+            return jnp.tanh(wav)
         x = WNConv(
             1, (cfg.output_kernel,), padding="reflect",
             use_weight_norm=cfg.use_weight_norm,

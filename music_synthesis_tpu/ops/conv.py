@@ -51,8 +51,8 @@ class WNConv(nn.Module):
     use_bias: bool = True
     init_scale: float = 0.02
     # Mixed precision: params/weight-norm stay float32; inputs and kernels
-    # are cast to this dtype for the conv (bf16 hits the MXU's native path,
-    # accumulation stays f32 via preferred_element_type).
+    # are cast to this dtype for the conv (bf16 hits the MXU's native path)
+    # and activations flow onward in this dtype.
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -118,10 +118,6 @@ class WNConv(nn.Module):
             )
             out = out + b.astype(cdt)
         return out
-
-
-class WNConv1d(WNConv):
-    pass  # alias with 1-tuple kernel_size; kept for call-site clarity
 
 
 class WNConvTranspose1d(nn.Module):

@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--preset", choices=["default", "tiny"], default="default",
                     help="'tiny' = small models for smoke runs / CPU")
+    ap.add_argument("--head", choices=["waveform", "istft"], default="waveform",
+                    help="vocoder output head (istft = fast TPU variant)")
     args = ap.parse_args()
 
     import jax
@@ -54,8 +56,15 @@ def main() -> None:
     from music_synthesis_tpu.utils.wav import write_wav
 
     base = TINY if args.preset == "tiny" else PipelineConfig()
+    vocoder = base.vocoder
+    if args.head == "istft":
+        vocoder = dataclasses.replace(
+            vocoder, head="istft", upsample_factors=(8, 8),
+            istft_n_fft=16, istft_hop=4,
+        )
     cfg = dataclasses.replace(
         base,
+        vocoder=vocoder,
         train=TrainConfig(
             batch_size=args.batch,
             segment_length=args.segment,
