@@ -171,6 +171,10 @@ class TrainConfig:
     d_lr: float = 1e-4
     adam_b1: float = 0.5
     adam_b2: float = 0.9
+    # Global-norm gradient clipping (0 = off). GAN steps on small corpora
+    # show grad norms in the hundreds; clip stabilizes without changing the
+    # reference recipe when off.
+    grad_clip_norm: float = 0.0
     lambda_feature_matching: float = 10.0
     lambda_stft: float = 2.5
     seed: int = 0

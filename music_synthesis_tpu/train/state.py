@@ -29,5 +29,13 @@ class GANState(flax.struct.PyTreeNode):
 
 
 def make_optimizer(lr: float, cfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam with GAN-friendly betas (0.5, 0.9) — MelGAN-family settings."""
-    return optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    """Adam with GAN-friendly betas (0.5, 0.9) — MelGAN-family settings.
+
+    Optional global-norm gradient clipping (cfg.grad_clip_norm > 0).
+    """
+    adam = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    if cfg.grad_clip_norm > 0:
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm), adam
+        )
+    return adam

@@ -117,3 +117,24 @@ def test_stage2_trains_with_istft_head():
         state, m = stage2.train_step(cfg, state, wav)
     assert all(np.isfinite(float(v)) for v in m.values())
     assert float(m["g_grad_norm"]) > 0
+
+
+def test_grad_clip_norm_knob():
+    """grad_clip_norm > 0 bounds the applied update's source grad norm."""
+    import dataclasses
+
+    import optax
+
+    from music_synthesis_tpu.train.state import make_optimizer
+
+    cfg = dataclasses.replace(TINY.train, grad_clip_norm=1.0)
+    tx = make_optimizer(1e-3, cfg)
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 100.0)}
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    # After clipping to norm 1, adam normalizes; update must be finite and
+    # the clip must have engaged (norm of clipped grads == 1).
+    clipped, _ = optax.clip_by_global_norm(1.0).update(grads, None, None)
+    np.testing.assert_allclose(float(optax.global_norm(clipped)), 1.0, rtol=1e-5)
+    assert np.isfinite(np.asarray(updates["w"])).all()
