@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from music_synthesis_tpu.config import STFTLossConfig
 from music_synthesis_tpu.losses.stft_loss import multires_stft_loss, stft_distance
@@ -38,3 +39,31 @@ def test_stft_distance_components(rng):
     assert float(sc) > 0 and float(mag) > 0
     # Pure gain error: log-mag L1 equals |log 0.5| exactly.
     np.testing.assert_allclose(float(mag), abs(np.log(0.5)), rtol=1e-4)
+
+
+def test_multires_loss_matches_independent_torch_implementation(rng):
+    """The judged parity metric cross-checked against a from-scratch torch
+    implementation (independent STFT + norms)."""
+    torch = pytest.importorskip("torch")
+
+    x = rng.standard_normal(4096).astype(np.float32)
+    y = (x + 0.1 * rng.standard_normal(4096)).astype(np.float32)
+
+    def torch_distance(a, b, n_fft, hop, win):
+        sa = torch.stft(torch.from_numpy(a), n_fft, hop, win,
+                        window=torch.hann_window(win, periodic=True),
+                        center=False, return_complex=True)
+        sb = torch.stft(torch.from_numpy(b), n_fft, hop, win,
+                        window=torch.hann_window(win, periodic=True),
+                        center=False, return_complex=True)
+        ma = torch.clamp(sa.abs(), min=np.sqrt(1e-7))
+        mb = torch.clamp(sb.abs(), min=np.sqrt(1e-7))
+        sc = torch.norm(mb - ma) / torch.norm(mb)
+        mag = torch.mean(torch.abs(torch.log(ma) - torch.log(mb)))
+        return float(sc + mag)
+
+    want = sum(
+        torch_distance(x, y, f, h, w) for f, h, w in CFG.resolutions
+    ) / len(CFG.resolutions)
+    got = float(multires_stft_loss(jnp.asarray(x)[None], jnp.asarray(y)[None], CFG))
+    np.testing.assert_allclose(got, want, rtol=1e-3)
