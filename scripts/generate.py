@@ -26,7 +26,9 @@ def main() -> None:
     ap.add_argument("--report", action="store_true",
                     help="also write a listenable HTML report")
     ap.add_argument("--device", choices=["cpu", "default"], default="default")
-    ap.add_argument("--preset", choices=["default", "tiny"], default="default")
+    ap.add_argument("--preset", choices=["default", "fast", "tiny"],
+                    default="default",
+                    help="fast = iSTFT-head flagship (see config.py)")
     args = ap.parse_args()
 
     import jax
@@ -36,13 +38,15 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from music_synthesis_tpu.config import E2E_INFERENCE, TINY
+    from music_synthesis_tpu.config import (E2E_INFERENCE,
+        E2E_INFERENCE_FAST, TINY)
     from music_synthesis_tpu.infer.generate import generate
     from music_synthesis_tpu.train import stage1, stage2
     from music_synthesis_tpu.train.checkpoint import CheckpointManager
     from music_synthesis_tpu.utils.wav import write_wav
 
-    cfg = TINY if args.preset == "tiny" else E2E_INFERENCE
+    cfg = {"tiny": TINY, "fast": E2E_INFERENCE_FAST,
+           "default": E2E_INFERENCE}[args.preset]
     key = jax.random.PRNGKey(args.seed)
     print(f"device: {jax.devices()[0].platform}; building generators...",
           flush=True)
