@@ -175,6 +175,10 @@ class TrainConfig:
     # show grad norms in the hundreds; clip stabilizes without changing the
     # reference recipe when off.
     grad_clip_norm: float = 0.0
+    # Rematerialize the generator forward in the G step (jax.checkpoint):
+    # trades ~1 extra G forward for not storing its activations — headroom
+    # for long segments / big batches on a 16 GB chip.
+    remat_generator: bool = False
     lambda_feature_matching: float = 10.0
     lambda_stft: float = 2.5
     seed: int = 0

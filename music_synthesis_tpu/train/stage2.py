@@ -120,8 +120,12 @@ def train_step_impl(
     d_params = optax.apply_updates(state.d_params, d_updates)
 
     # --- G step (against updated D) ---
+    gen_fwd = gen.apply
+    if t.remat_generator:
+        gen_fwd = jax.checkpoint(gen.apply, static_argnums=())
+
     def g_loss_fn(g_params):
-        fake_g = gen.apply({"params": g_params}, mel)
+        fake_g = gen_fwd({"params": g_params}, mel)
         fake_logits, fake_feats = disc.apply({"params": d_params}, fake_g)
         real_logits, real_feats = disc.apply({"params": d_params}, wav)
         adv = hinge_g_loss(fake_logits)

@@ -36,6 +36,8 @@ def main() -> None:
                     help="'tiny' = small models for smoke runs / CPU")
     ap.add_argument("--head", choices=["waveform", "istft"], default="waveform",
                     help="vocoder output head (istft = fast TPU variant)")
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off)")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +72,7 @@ def main() -> None:
             segment_length=args.segment,
             mesh_shape=(args.mesh,),
             use_pallas_frontend=args.pallas_frontend,
+            grad_clip_norm=args.grad_clip,
         ),
     )
     outdir = Path(args.outdir)

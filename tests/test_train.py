@@ -138,3 +138,21 @@ def test_grad_clip_norm_knob():
     clipped, _ = optax.clip_by_global_norm(1.0).update(grads, None, None)
     np.testing.assert_allclose(float(optax.global_norm(clipped)), 1.0, rtol=1e-5)
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_stage2_remat_generator_matches_baseline():
+    """remat changes memory, not math: one step equal with/without."""
+    import dataclasses
+
+    cfg_r = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, remat_generator=True)
+    )
+    wav = _wav_batch(jax.random.PRNGKey(6), TINY)
+    s_a = stage2.make_train_state(TINY, KEY)
+    s_b = stage2.make_train_state(cfg_r, KEY)
+    s_a, m_a = stage2.train_step(TINY, s_a, wav)
+    s_b, m_b = stage2.train_step(cfg_r, s_b, wav)
+    for k in m_a:
+        np.testing.assert_allclose(
+            float(m_a[k]), float(m_b[k]), rtol=1e-5, atol=1e-6
+        )
