@@ -17,7 +17,11 @@ both defended against:
      latents, one 4-byte checksum out, so nothing can be elided), and the
      fixed dispatch overhead is subtracted via an n=1 run.
 
-Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+Prints exactly ONE JSON line to stdout (the driver contract); which metric
+that line reports is selected with --metric (default: inference RTF). ALL
+measured metrics — inference RTF for both presets and the stage-2 GAN
+training step time (BASELINE.json:5) with a FLOP/MFU accounting — are
+written to BENCH_FULL.json and logged to stderr.
 """
 
 from __future__ import annotations
@@ -35,6 +39,94 @@ from jax import lax
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def bench_stage2_step(results: dict) -> None:
+    """Stage-2 GAN training step time at batch 16 x 8192 (BASELINE.json:5).
+
+    Same device-loop methodology as the inference bench: n steps chained
+    through lax.scan with fresh on-device batches per step (nothing
+    cacheable/elidable), fixed dispatch overhead removed via an n=1 run.
+    Measures the reference-faithful fp32 recipe and the validated fast
+    recipe (bf16 discriminators + D(real) feature reuse).
+    """
+    import dataclasses
+
+    from music_synthesis_tpu.config import PipelineConfig
+    from music_synthesis_tpu.train import stage2
+
+    base = PipelineConfig()
+    variants = {
+        "stage2_gan_step_ms": base,
+        "stage2_gan_step_fast_ms": dataclasses.replace(
+            base,
+            msd=dataclasses.replace(base.msd, compute_dtype="bfloat16"),
+            mrd=dataclasses.replace(base.mrd, compute_dtype="bfloat16"),
+            vocoder=dataclasses.replace(
+                base.vocoder, compute_dtype="bfloat16"
+            ),
+            train=dataclasses.replace(
+                base.train, reuse_real_features=True
+            ),
+        ),
+    }
+    seed = int.from_bytes(os.urandom(4), "little")
+    for name, cfg in variants.items():
+        b = cfg.train.batch_size
+        seg = cfg.train.segment_length
+
+        @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+        def many(n: int, state, loop_key, _cfg=cfg, _b=b, _seg=seg):
+            def body(st, i):
+                wav = 0.5 * jnp.tanh(jax.random.normal(
+                    jax.random.fold_in(loop_key, i), (_b, _seg)))
+                st, m = stage2.train_step_impl(_cfg, st, wav)
+                return st, m["d_loss"]
+
+            st, losses = lax.scan(body, state, jnp.arange(n))
+            return jnp.sum(losses)
+
+        def run(n: int, r: int) -> float:
+            state = stage2.make_train_state(cfg, jax.random.PRNGKey(0))
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), 17 * n + r)
+            jax.block_until_ready(state.g_params)
+            t0 = time.perf_counter()
+            v = float(many(n, state, key))
+            dt = time.perf_counter() - t0
+            assert jnp.isfinite(v), "non-finite training loss in bench"
+            return dt
+
+        n_iters = 11
+        t0 = time.perf_counter()
+        run(1, 0)
+        run(n_iters, 0)
+        log(f"[{name}] compile+warm: {time.perf_counter() - t0:.1f}s")
+        per = []
+        for r in range(1, 4):
+            t1 = run(1, r)
+            tn = run(n_iters, r)
+            per.append((tn - t1) / (n_iters - 1))
+            log(f"[{name}] run {r}: n=1 {t1 * 1e3:.1f} ms, "
+                f"n={n_iters} {tn * 1e3:.1f} ms -> {per[-1] * 1e3:.2f} ms/step")
+        best = min(per)
+        results[name] = round(best * 1e3, 2)
+
+        # FLOP accounting for the MFU/roofline paragraph (DESIGN.md §2):
+        # XLA's own cost model for the compiled step program.
+        try:
+            state = stage2.make_train_state(cfg, jax.random.PRNGKey(0))
+            lowered = jax.jit(
+                functools.partial(stage2.train_step_impl, cfg)
+            ).lower(state, jnp.zeros((b, seg), jnp.float32))
+            cost = lowered.compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0))
+            results[name + "_tflops_per_s"] = round(
+                flops / best / 1e12, 2
+            )
+            log(f"[{name}] XLA-estimated {flops / 1e9:.1f} GFLOP/step -> "
+                f"{flops / best / 1e12:.1f} TFLOP/s sustained")
+        except Exception as e:  # cost model is best-effort
+            log(f"[{name}] cost_analysis unavailable: {e}")
 
 
 def main() -> None:
@@ -133,15 +225,40 @@ def main() -> None:
     wf_best = min(
         (run_wf(n_iters, r) - run_wf(1, r)) / (n_iters - 1) for r in (1, 2)
     )
+    wf_rtf = audio_sec_per_call / wf_best
     log(f"waveform-head preset: {wf_best * 1e3:.2f} ms/call "
-        f"-> RTF {audio_sec_per_call / wf_best:.0f}x")
+        f"-> RTF {wf_rtf:.0f}x")
 
-    print(json.dumps({
-        "metric": "fused_two_stage_inference_rtf",
-        "value": round(rtf, 1),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / 500.0, 3),
-    }))
+    results = {
+        "fused_two_stage_inference_rtf": round(rtf, 1),
+        "fused_two_stage_inference_rtf_waveform_head": round(wf_rtf, 1),
+    }
+    bench_stage2_step(results)
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    log(f"all metrics: {results}")
+
+    which = "rtf"
+    if "--metric" in sys.argv:
+        which = sys.argv[sys.argv.index("--metric") + 1]
+    if which == "stage2_step":
+        # vs_baseline: ratio of the 50 ms round-2 target to the measured
+        # fast-recipe step (>1 = beating the target).
+        ms = results["stage2_gan_step_fast_ms"]
+        print(json.dumps({
+            "metric": "stage2_gan_step_ms",
+            "value": ms,
+            "unit": "ms_per_step_b16x8192",
+            "vs_baseline": round(50.0 / ms, 3),
+        }))
+    else:
+        print(json.dumps({
+            "metric": "fused_two_stage_inference_rtf",
+            "value": round(rtf, 1),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(rtf / 500.0, 3),
+        }))
 
 
 if __name__ == "__main__":

@@ -72,6 +72,7 @@ class SpecGANConfig:
     disc_kernel: int = 5
     disc_strides: Tuple[int, ...] = (2, 2, 2, 2)
     leaky_slope: float = 0.2
+    use_weight_norm: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native mixed precision
 
 
@@ -179,6 +180,15 @@ class TrainConfig:
     # trades ~1 extra G forward for not storing its activations — headroom
     # for long segments / big batches on a 16 GB chip.
     remat_generator: bool = False
+    # Generator EMA decay (0 = off). When on, GANState.g_ema tracks
+    # ema = decay * ema + (1 - decay) * g_params each step; inference and
+    # audio dumps should read g_ema (train scripts do).
+    ema_decay: float = 0.0
+    # Reuse the D(real) feature taps from the D update (pre-update D params)
+    # for the G step's feature-matching target instead of re-running D(real)
+    # under the updated D. Saves one full discriminator forward per step;
+    # the FM target features differ by one optimizer step of D drift.
+    reuse_real_features: bool = False
     lambda_feature_matching: float = 10.0
     lambda_stft: float = 2.5
     seed: int = 0

@@ -12,7 +12,9 @@ with envelopes) so training, tests, and benchmarks run without MusicNet.
 
 from __future__ import annotations
 
+import collections
 import os
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -23,7 +25,22 @@ __all__ = ["AudioDataset", "make_synthetic_corpus"]
 
 
 class AudioDataset:
-    """In-memory corpus of mono waveforms at the target sample rate."""
+    """Corpus of mono waveforms at the target sample rate.
+
+    Two residency modes (SURVEY.md C1 — a MusicNet-class corpus is tens of
+    GB, far past host RAM):
+
+    * ``ram_budget_mb=None`` (default): fully decoded into RAM up front —
+      zero per-step IO, right for small/medium corpora.
+    * ``ram_budget_mb=N``: only (path, length) metadata is kept resident;
+      decoded clips live in an LRU cache capped at N MB and are re-decoded
+      on miss. Sampling stays step-seeded and deterministic either way (the
+      sampling decisions depend only on the recorded lengths).
+
+    The one-time init scan decodes each file once (one clip in flight) to
+    record its resampled length; in budgeted mode the scan also warms the
+    LRU, so small corpora behave identically in both modes.
+    """
 
     def __init__(
         self,
@@ -33,6 +50,7 @@ class AudioDataset:
         min_length: int | None = None,
         process_index: int = 0,
         process_count: int = 1,
+        ram_budget_mb: int | None = None,
     ):
         self.sample_rate = sample_rate
         self.segment_length = segment_length
@@ -42,15 +60,55 @@ class AudioDataset:
         paths = paths[process_index::process_count]
         if not paths:
             raise FileNotFoundError(f"no .wav files under {root}")
-        self.clips: list[np.ndarray] = []
         self.paths: list[Path] = []
+        self.lengths: list[int] = []
+        self._budget = (
+            None if ram_budget_mb is None else ram_budget_mb * (1 << 20)
+        )
+        self._cache: collections.OrderedDict[int, np.ndarray] = (
+            collections.OrderedDict()
+        )
+        self._cache_bytes = 0
+        # Single lock around the LRU: the prefetcher thread and the main
+        # thread (audio dumps, parity evals) may sample concurrently.
+        self._lock = threading.Lock()
+        self.clips: list[np.ndarray] | None = [] if self._budget is None else None
         for p in paths:
             wav = load_wav(p, sample_rate)
-            if len(wav) >= min_length:
+            if len(wav) < min_length:
+                continue
+            self.paths.append(p)
+            self.lengths.append(len(wav))
+            if self.clips is not None:
                 self.clips.append(wav)
-                self.paths.append(p)
-        if not self.clips:
+            else:
+                self._cache_put(len(self.paths) - 1, wav)
+        if not self.paths:
             raise ValueError(f"no clips of >= {min_length} samples under {root}")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _cache_put(self, idx: int, wav: np.ndarray) -> None:
+        self._cache[idx] = wav
+        self._cache_bytes += wav.nbytes
+        while self._cache_bytes > self._budget and len(self._cache) > 1:
+            _, old = self._cache.popitem(last=False)
+            self._cache_bytes -= old.nbytes
+
+    def _get_clip(self, idx: int) -> np.ndarray:
+        if self.clips is not None:
+            return self.clips[idx]
+        with self._lock:
+            wav = self._cache.get(idx)
+            if wav is not None:
+                self._cache.move_to_end(idx)
+                return wav
+        wav = load_wav(self.paths[idx], self.sample_rate)
+        with self._lock:
+            if idx not in self._cache:
+                self._cache_put(idx, wav)
+        return wav
 
     def sample_batch(self, step: int, batch_size: int, seed: int = 0) -> np.ndarray:
         """Step-seeded segment batch ``[B, segment_length]`` float32.
@@ -60,10 +118,10 @@ class AudioDataset:
         """
         rng = np.random.default_rng(np.random.SeedSequence([seed, step]))
         out = np.empty((batch_size, self.segment_length), np.float32)
-        clip_idx = rng.integers(0, len(self.clips), size=batch_size)
+        clip_idx = rng.integers(0, len(self.paths), size=batch_size)
         for i, ci in enumerate(clip_idx):
-            clip = self.clips[ci]
-            start = rng.integers(0, len(clip) - self.segment_length + 1)
+            start = rng.integers(0, self.lengths[ci] - self.segment_length + 1)
+            clip = self._get_clip(ci)
             out[i] = clip[start : start + self.segment_length]
         return out
 

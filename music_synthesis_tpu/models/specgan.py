@@ -45,14 +45,23 @@ class SpectrogramGenerator(nn.Module):
             channels = max(channels // 2, cfg.n_mels)
             x = nn.leaky_relu(x, cfg.leaky_slope)
             x = WNConvTranspose1d(
-                channels, kernel_size=2 * u, stride=u, name=f"upsample_{i}",
+                channels, kernel_size=2 * u, stride=u,
+                use_weight_norm=cfg.use_weight_norm,
+                compute_dtype=cfg.compute_dtype, name=f"upsample_{i}",
             )(x)
             x = ResidualStack(
-                channels, cfg.res_dilations, name=f"res_{i}",
+                channels, cfg.res_dilations,
+                leaky_slope=cfg.leaky_slope,
+                use_weight_norm=cfg.use_weight_norm,
+                compute_dtype=cfg.compute_dtype, name=f"res_{i}",
             )(x)
         x = nn.leaky_relu(x, cfg.leaky_slope)
-        x = WNConv(cfg.n_mels, (7,), padding="reflect", name="conv_out")(x)
-        return jnp.tanh(x)
+        x = WNConv(
+            cfg.n_mels, (7,), padding="reflect",
+            use_weight_norm=cfg.use_weight_norm,
+            compute_dtype=cfg.compute_dtype, name="conv_out",
+        )(x)
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class SpectrogramDiscriminator(nn.Module):
@@ -68,9 +77,13 @@ class SpectrogramDiscriminator(nn.Module):
         for i, (ch, s) in enumerate(zip(cfg.disc_channels, cfg.disc_strides)):
             x = WNConv(
                 ch, (cfg.disc_kernel,), strides=(s,), padding="same",
-                name=f"down_{i}",
+                use_weight_norm=cfg.use_weight_norm,
+                compute_dtype=cfg.compute_dtype, name=f"down_{i}",
             )(x)
             x = nn.leaky_relu(x, cfg.leaky_slope)
             feats.append(x)
-        logit = WNConv(1, (3,), padding="same", name="conv_out")(x)
-        return logit, feats
+        logit = WNConv(
+            1, (3,), padding="same", use_weight_norm=cfg.use_weight_norm,
+            compute_dtype=cfg.compute_dtype, name="conv_out",
+        )(x)
+        return logit.astype(jnp.float32), feats

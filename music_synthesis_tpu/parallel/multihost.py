@@ -7,6 +7,11 @@ each process feeds only its addressable shard (AudioDataset already takes
 process_index/process_count), and the same jit-with-shardings train step
 works unchanged — XLA routes intra-slice collectives over ICI and
 inter-slice over DCN.
+
+VERIFICATION STATUS: the env-var parsing and single-process fallback are
+unit-tested, but the `jax.distributed.initialize` branch has never executed
+— this environment has no multi-host slice. Treat that branch as unverified
+until run on real multi-host hardware.
 """
 
 from __future__ import annotations

@@ -11,9 +11,12 @@ gradient/metric averaging as explicit ``lax.pmean`` over the 'data' axis
 * The collective schedule is explicit and auditable in the HLO.
 
 For stage 2 (no rng in the step) this is numerically equivalent to the
-jit-sharded DP step and the single-device step (tested). For stage 1 the
-latent draw is decorrelated per device via axis-index folding, which is the
-*better* sampling scheme but not bit-identical to single-device batches.
+jit-sharded DP step and the single-device step (tested): batch-mean losses
+are exact under grad-pmean, and the nonlinear spectral-convergence term is
+computed from psum'd squared norms with a gradient-scale correction
+(losses/stft_loss.py) so it is the exact global-batch value too. For stage 1
+the latent draw is decorrelated per device via axis-index folding, which is
+the *better* sampling scheme but not bit-identical to single-device batches.
 """
 
 from __future__ import annotations

@@ -25,7 +25,10 @@ from music_synthesis_tpu.models.specgan import (
 )
 from music_synthesis_tpu.train.state import GANState, make_optimizer
 
-__all__ = ["make_models", "make_train_state", "train_step", "train_step_impl", "forward_and_loss"]
+__all__ = [
+    "make_models", "make_train_state", "train_step", "train_step_impl",
+    "forward_and_loss", "draw_latents",
+]
 
 
 def make_models(cfg: PipelineConfig):
@@ -50,7 +53,31 @@ def make_train_state(cfg: PipelineConfig, rng: jax.Array) -> GANState:
         g_opt=g_tx.init(g_params),
         d_opt=d_tx.init(d_params),
         rng=rng,
+        # Fresh buffers, not aliases: the jitted step donates the state, and
+        # aliased g_params/g_ema leaves would be donated twice.
+        g_ema=jax.tree.map(jnp.copy, g_params) if t.ema_decay > 0 else None,
     )
+
+
+def draw_latents(
+    rng: jax.Array,
+    n: int,
+    cfg: PipelineConfig,
+    axis_name: str | None = None,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """(new_rng, z ``[n, latent_dim]``) for one step's generator draw.
+
+    Under shard_map (``axis_name`` set) the device's mesh index is folded
+    into the key, so each device draws an independent latent shard — the
+    global batch sees B distinct latents, not N copies of the same B/N
+    (tested in tests/test_shard_map.py).
+    """
+    rng, zk = jax.random.split(rng)
+    if axis_name:
+        zk = jax.random.fold_in(zk, jax.lax.axis_index(axis_name))
+    z = jax.random.normal(zk, (n, cfg.specgan.latent_dim), dtype)
+    return rng, z
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -88,41 +115,63 @@ def train_step_impl(
     def pmean(x):
         return jax.lax.pmean(x, axis_name) if axis_name else x
 
-    rng, zk = jax.random.split(state.rng)
-    if axis_name:
-        zk = jax.random.fold_in(zk, jax.lax.axis_index(axis_name))
-    z = jax.random.normal(
-        zk, (real_mel.shape[0], cfg.specgan.latent_dim), real_mel.dtype
+    rng, z = draw_latents(
+        state.rng, real_mel.shape[0], cfg, axis_name, real_mel.dtype
     )
-    fake = gen.apply({"params": state.g_params}, z)
+    with jax.named_scope("generator_fwd"):
+        fake = gen.apply({"params": state.g_params}, z)
     fake_sg = jax.lax.stop_gradient(fake)
 
     def d_loss_fn(d_params):
-        real_logit, _ = disc.apply({"params": d_params}, real_mel)
-        fake_logit, _ = disc.apply({"params": d_params}, fake_sg)
-        return hinge_d_loss(real_logit, fake_logit)
+        with jax.named_scope("disc_real"):
+            real_logit, real_feats = disc.apply({"params": d_params}, real_mel)
+        with jax.named_scope("disc_fake"):
+            fake_logit, _ = disc.apply({"params": d_params}, fake_sg)
+        return hinge_d_loss(real_logit, fake_logit), real_feats
 
-    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
-    d_grads = pmean(d_grads)
-    d_grad_norm = optax.global_norm(d_grads)
-    d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
-    d_params = optax.apply_updates(state.d_params, d_updates)
+    with jax.named_scope("d_step"):
+        (d_loss, real_feats_d), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params)
+        d_grads = pmean(d_grads)
+        d_grad_norm = optax.global_norm(d_grads)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_update_norm = optax.global_norm(d_updates)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+    real_feats_d = jax.lax.stop_gradient(real_feats_d)
 
     def g_loss_fn(g_params):
-        fake_g = gen.apply({"params": g_params}, z)
-        fake_logit, fake_feats = disc.apply({"params": d_params}, fake_g)
-        _, real_feats = disc.apply({"params": d_params}, real_mel)
-        adv = hinge_g_loss(fake_logit)
-        fm = feature_matching_loss(real_feats, fake_feats)
+        with jax.named_scope("generator_fwd_g"):
+            fake_g = gen.apply({"params": g_params}, z)
+        with jax.named_scope("disc_fake_g"):
+            fake_logit, fake_feats = disc.apply({"params": d_params}, fake_g)
+        if t.reuse_real_features:
+            real_feats = real_feats_d
+        else:
+            with jax.named_scope("disc_real_g"):
+                _, real_feats = disc.apply({"params": d_params}, real_mel)
+        with jax.named_scope("losses"):
+            adv = hinge_g_loss(fake_logit)
+            fm = feature_matching_loss(real_feats, fake_feats)
         return adv + t.lambda_feature_matching * fm, {"g_adv": adv, "g_fm": fm}
 
-    (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-        state.g_params
-    )
-    g_grads = pmean(g_grads)
-    g_grad_norm = optax.global_norm(g_grads)
-    g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-    g_params = optax.apply_updates(state.g_params, g_updates)
+    with jax.named_scope("g_step"):
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+        g_grads = pmean(g_grads)
+        g_grad_norm = optax.global_norm(g_grads)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_update_norm = optax.global_norm(g_updates)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+    g_ema = state.g_ema
+    if t.ema_decay > 0:
+        with jax.named_scope("ema"):
+            g_ema = jax.tree.map(
+                lambda e, p: t.ema_decay * e + (1.0 - t.ema_decay) * p,
+                state.g_ema, g_params,
+            )
 
     new_state = GANState(
         step=state.step + 1,
@@ -131,10 +180,13 @@ def train_step_impl(
         g_opt=g_opt,
         d_opt=d_opt,
         rng=rng,
+        g_ema=g_ema,
     )
     metrics = pmean({"d_loss": d_loss, "g_loss": g_loss, **aux})
     metrics["d_grad_norm"] = d_grad_norm
     metrics["g_grad_norm"] = g_grad_norm
+    metrics["d_update_norm"] = d_update_norm
+    metrics["g_update_norm"] = g_update_norm
     return new_state, metrics
 
 

@@ -52,7 +52,10 @@ def conditioning_mel(wav: jax.Array, cfg: PipelineConfig) -> jax.Array:
             pallas_log_mel_for_vocoder,
         )
 
-        mel = pallas_log_mel_for_vocoder(wav, cfg.frontend)
+        # Mosaic compiles only on TPU; everywhere else (CPU tests, the
+        # virtual-mesh dryrun) the kernel runs in interpret mode.
+        interpret = jax.default_backend() != "tpu"
+        mel = pallas_log_mel_for_vocoder(wav, cfg.frontend, interpret=interpret)
     else:
         mel = log_mel_for_vocoder(wav, cfg.frontend)
     return (mel - cfg.mel_scaler.shift) / cfg.mel_scaler.scale
@@ -79,6 +82,9 @@ def make_train_state(cfg: PipelineConfig, rng: jax.Array) -> GANState:
         g_opt=g_tx.init(g_params),
         d_opt=d_tx.init(d_params),
         rng=rng,
+        # Fresh buffers, not aliases: the jitted step donates the state, and
+        # aliased g_params/g_ema leaves would be donated twice.
+        g_ema=jax.tree.map(jnp.copy, g_params) if t.ema_decay > 0 else None,
     )
 
 
@@ -103,21 +109,30 @@ def train_step_impl(
     def pmean(x):
         return jax.lax.pmean(x, axis_name) if axis_name else x
 
-    mel = conditioning_mel(wav, cfg)
-    fake = gen.apply({"params": state.g_params}, mel)
+    with jax.named_scope("frontend"):
+        mel = conditioning_mel(wav, cfg)
+    with jax.named_scope("generator_fwd"):
+        fake = gen.apply({"params": state.g_params}, mel)
     fake_sg = jax.lax.stop_gradient(fake)
 
     # --- D step (on detached fake) ---
     def d_loss_fn(d_params):
-        real_logits, _ = disc.apply({"params": d_params}, wav)
-        fake_logits, _ = disc.apply({"params": d_params}, fake_sg)
-        return hinge_d_loss(real_logits, fake_logits)
+        with jax.named_scope("disc_real"):
+            real_logits, real_feats = disc.apply({"params": d_params}, wav)
+        with jax.named_scope("disc_fake"):
+            fake_logits, _ = disc.apply({"params": d_params}, fake_sg)
+        return hinge_d_loss(real_logits, fake_logits), real_feats
 
-    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
-    d_grads = pmean(d_grads)
-    d_grad_norm = optax.global_norm(d_grads)
-    d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
-    d_params = optax.apply_updates(state.d_params, d_updates)
+    with jax.named_scope("d_step"):
+        (d_loss, real_feats_d), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params)
+        d_grads = pmean(d_grads)
+        d_grad_norm = optax.global_norm(d_grads)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_update_norm = optax.global_norm(d_updates)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+    real_feats_d = jax.lax.stop_gradient(real_feats_d)
 
     # --- G step (against updated D) ---
     gen_fwd = gen.apply
@@ -125,26 +140,45 @@ def train_step_impl(
         gen_fwd = jax.checkpoint(gen.apply, static_argnums=())
 
     def g_loss_fn(g_params):
-        fake_g = gen_fwd({"params": g_params}, mel)
-        fake_logits, fake_feats = disc.apply({"params": d_params}, fake_g)
-        real_logits, real_feats = disc.apply({"params": d_params}, wav)
-        adv = hinge_g_loss(fake_logits)
-        fm = feature_matching_loss(real_feats, fake_feats)
-        stft = multires_stft_loss(fake_g, wav, cfg.stft_loss)
-        total = (
-            adv
-            + t.lambda_feature_matching * fm
-            + t.lambda_stft * stft
-        )
+        with jax.named_scope("generator_fwd_g"):
+            fake_g = gen_fwd({"params": g_params}, mel)
+        with jax.named_scope("disc_fake_g"):
+            fake_logits, fake_feats = disc.apply({"params": d_params}, fake_g)
+        if t.reuse_real_features:
+            # FM target = D(real) taps already computed in the D step
+            # (pre-update D). Saves one full D forward per step.
+            real_feats = real_feats_d
+        else:
+            with jax.named_scope("disc_real_g"):
+                _, real_feats = disc.apply({"params": d_params}, wav)
+        with jax.named_scope("losses"):
+            adv = hinge_g_loss(fake_logits)
+            fm = feature_matching_loss(real_feats, fake_feats)
+            stft = multires_stft_loss(fake_g, wav, cfg.stft_loss, axis_name)
+            total = (
+                adv
+                + t.lambda_feature_matching * fm
+                + t.lambda_stft * stft
+            )
         return total, {"g_adv": adv, "g_fm": fm, "g_stft": stft}
 
-    (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-        state.g_params
-    )
-    g_grads = pmean(g_grads)
-    g_grad_norm = optax.global_norm(g_grads)
-    g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-    g_params = optax.apply_updates(state.g_params, g_updates)
+    with jax.named_scope("g_step"):
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+        g_grads = pmean(g_grads)
+        g_grad_norm = optax.global_norm(g_grads)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_update_norm = optax.global_norm(g_updates)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+    g_ema = state.g_ema
+    if t.ema_decay > 0:
+        with jax.named_scope("ema"):
+            g_ema = jax.tree.map(
+                lambda e, p: t.ema_decay * e + (1.0 - t.ema_decay) * p,
+                state.g_ema, g_params,
+            )
 
     new_state = GANState(
         step=state.step + 1,
@@ -153,10 +187,13 @@ def train_step_impl(
         g_opt=g_opt,
         d_opt=d_opt,
         rng=state.rng,
+        g_ema=g_ema,
     )
     metrics = pmean({"d_loss": d_loss, "g_loss": g_loss, **aux})
     metrics["d_grad_norm"] = d_grad_norm
     metrics["g_grad_norm"] = g_grad_norm
+    metrics["d_update_norm"] = d_update_norm
+    metrics["g_update_norm"] = g_update_norm
     return new_state, metrics
 
 

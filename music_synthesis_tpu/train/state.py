@@ -26,6 +26,10 @@ class GANState(flax.struct.PyTreeNode):
     g_opt: Any
     d_opt: Any
     rng: jax.Array
+    # Exponential moving average of g_params (SURVEY.md §5.6, P:5 family
+    # practice): None when cfg.train.ema_decay == 0, else a g_params-shaped
+    # pytree updated every step and used for inference/audio dumps.
+    g_ema: Any = None
 
 
 def make_optimizer(lr: float, cfg: TrainConfig) -> optax.GradientTransformation:

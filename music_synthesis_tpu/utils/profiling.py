@@ -1,9 +1,11 @@
 """Tracing/profiling helpers (SURVEY.md §5.1).
 
 jax.profiler trace wrapper (Perfetto/XProf-compatible) plus benchmark timing
-with block_until_ready discipline. Phases inside jitted code are annotated
-with jax.named_scope at call sites (generator/discriminator/loss show up as
-named regions in the trace).
+with block_until_ready discipline. Phases inside the jitted train steps are
+annotated with jax.named_scope in train/stage1.py and train/stage2.py
+(frontend / generator_fwd / disc_real / disc_fake / d_step / g_step / losses
+/ ema show up as named regions in the trace); scripts/profile_step.py
+captures a trace artifact into runs/.
 """
 
 from __future__ import annotations

@@ -139,8 +139,13 @@ int msynth_decode_wav(const uint8_t* data, int64_t size, float* out,
         std::memcpy(&x, s, 2);
         v = x / 32768.0;
       } else if (bits == 24) {
-        int32_t x = (s[0] << 8) | (s[1] << 16) | (static_cast<int8_t>(s[2]) << 24);
-        v = (x >> 8) / 8388608.0;
+        // Compose in unsigned space (signed left-shift of negatives is UB
+        // pre-C++20), then arithmetic-shift back down to sign-extend.
+        uint32_t u = (static_cast<uint32_t>(s[0]) << 8) |
+                     (static_cast<uint32_t>(s[1]) << 16) |
+                     (static_cast<uint32_t>(s[2]) << 24);
+        int32_t x = static_cast<int32_t>(u) >> 8;
+        v = x / 8388608.0;
       } else if (bits == 32) {
         int32_t x;
         std::memcpy(&x, s, 4);

@@ -4,10 +4,16 @@
 Trains the "composer" on real log-mel patches extracted from the corpus:
   python scripts/train_stage1.py --corpus DIR --steps 1000 [--mesh 8]
 Without --corpus, a deterministic synthetic corpus is generated.
+
+When --mesh > 1 the step runs under shard_map with explicit pmean and a
+per-device decorrelated latent draw (--dp jit selects jit+NamedSharding,
+which replays the single-device latent scheme on the global batch).
 """
 
 import argparse
+import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -19,35 +25,69 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--mesh", type=int, default=1)
+    ap.add_argument("--dp", choices=["shard_map", "jit"], default="shard_map")
     ap.add_argument("--outdir", default="runs/stage1")
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=25)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--preset", choices=["default", "tiny"], default="default",
                     help="'tiny' = small models for smoke runs / CPU")
+    ap.add_argument("--grad-clip", type=float, default=0.0)
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="generator EMA decay (0 = off)")
+    ap.add_argument("--reuse-real-feats", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute in G and D")
+    ap.add_argument("--auto-mel-stats", action="store_true")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="host-side batch prefetch depth (0 = synchronous)")
+    ap.add_argument("--ram-budget-mb", type=int, default=0)
     args = ap.parse_args()
+
+    from music_synthesis_tpu.utils.env import maybe_force_cpu
+
+    maybe_force_cpu()
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     import dataclasses
 
     from music_synthesis_tpu.config import TINY, PipelineConfig, TrainConfig
     from music_synthesis_tpu.data.dataset import AudioDataset, make_synthetic_corpus
+    from music_synthesis_tpu.data.prefetch import Prefetcher
+    from music_synthesis_tpu.data.stats import compute_mel_stats
     from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
     from music_synthesis_tpu.parallel.dp import make_dp_stage1_step
     from music_synthesis_tpu.parallel.mesh import (
         make_mesh, replicate_state, shard_batch,
     )
+    from music_synthesis_tpu.parallel.shard_map_dp import make_shardmap_stage1_step
     from music_synthesis_tpu.train import stage1
     from music_synthesis_tpu.train.checkpoint import CheckpointManager
     from music_synthesis_tpu.train.metrics import MetricsLogger
 
     base = TINY if args.preset == "tiny" else PipelineConfig()
+    specgan = base.specgan
+    if args.bf16:
+        specgan = dataclasses.replace(specgan, compute_dtype="bfloat16")
     cfg = dataclasses.replace(
         base,
-        train=TrainConfig(batch_size=args.batch, mesh_shape=(args.mesh,)),
+        specgan=specgan,
+        train=TrainConfig(
+            batch_size=args.batch,
+            mesh_shape=(args.mesh,),
+            grad_clip_norm=args.grad_clip,
+            ema_decay=args.ema,
+            reuse_real_features=args.reuse_real_feats,
+        ),
+    )
+    assert args.batch % max(args.mesh, 1) == 0, (
+        f"--batch {args.batch} must be divisible by --mesh {args.mesh}"
+    )
+    assert cfg.specgan.n_mels == cfg.frontend.n_mels, (
+        f"specgan.n_mels ({cfg.specgan.n_mels}) != frontend.n_mels "
+        f"({cfg.frontend.n_mels}); real patches would not type-check"
     )
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -65,7 +105,17 @@ def main() -> None:
         segment_length=seg,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        ram_budget_mb=args.ram_budget_mb or None,
     )
+    print(f"corpus: {len(ds)} clips on {jax.device_count()} device(s)")
+
+    if args.auto_mel_stats:
+        scaler = compute_mel_stats(ds, cfg, seed=cfg.train.seed)
+        cfg = dataclasses.replace(cfg, mel_scaler=scaler)
+        (outdir / "mel_stats.json").write_text(json.dumps(
+            {"shift": scaler.shift, "scale": scaler.scale}))
+        print(f"mel stats from corpus: shift={scaler.shift:.3f} "
+              f"scale={scaler.scale:.3f}")
 
     # Real patches: front-end + normalization, jitted once.
     @jax.jit
@@ -84,22 +134,36 @@ def main() -> None:
     if args.mesh > 1:
         mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
         state = replicate_state(state, mesh)
-        step_fn = make_dp_stage1_step(cfg, mesh)
+        if args.dp == "shard_map":
+            step_fn = make_shardmap_stage1_step(cfg, mesh)
+        else:
+            step_fn = make_dp_stage1_step(cfg, mesh)
         prep = lambda x: shard_batch(x, mesh)
     else:
         step_fn = lambda s, m: stage1.train_step(cfg, s, m)
         prep = lambda x: x
 
     logger = MetricsLogger(str(outdir / "metrics.jsonl"))
-    for step in range(start_step, args.steps):
-        wav = jnp.asarray(
-            ds.sample_batch(step, cfg.train.batch_size, cfg.train.seed)
-        )
-        state, metrics = step_fn(state, prep(patches(wav)))
+    make_batch = lambda step: prep(patches(jnp.asarray(
+        ds.sample_batch(step, cfg.train.batch_size, cfg.train.seed))))
+    if args.prefetch > 0:
+        batches = Prefetcher(make_batch, start_step, args.steps,
+                             depth=args.prefetch)
+    else:
+        batches = ((s, make_batch(s)) for s in range(start_step, args.steps))
+    t_start = time.perf_counter()
+    for step, mel in batches:
+        state, metrics = step_fn(state, mel)
         if (step + 1) % args.log_every == 0 or step == start_step:
             logger.log(step + 1, metrics)
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, state)
+    jax.block_until_ready(state.g_params)
+    dt = time.perf_counter() - t_start
+    n_done = args.steps - start_step
+    if n_done > 0:
+        print(f"loop: {n_done} steps in {dt:.1f}s "
+              f"({1e3 * dt / n_done:.1f} ms/step incl. host pipeline)")
     ckpt.save(args.steps, state, wait=True)
     ckpt.close()
     logger.close()

@@ -6,13 +6,21 @@ Single device:
 Data-parallel over all visible devices (config 5 on a v5e-8):
   python scripts/train_stage2.py --corpus DIR --steps 1000 --mesh 8
 
+The distributed step uses shard_map + explicit pmean by default (the fused
+Pallas front-end runs per-device there, so --pallas-frontend composes with
+--mesh); --dp jit selects the jit+NamedSharding path instead, which does NOT
+support the Pallas kernel (no SPMD partitioning rule for the custom call).
+
 Without --corpus, a deterministic synthetic corpus is generated. Periodic
 outputs: orbax checkpoints, JSONL metrics, and vocoded-audio WAV dumps (the
-genre's observability channel, SURVEY.md §5.5).
+genre's observability channel, SURVEY.md §5.5). Host-side batch sampling is
+overlapped with the device step by a background prefetcher (--prefetch).
 """
 
 import argparse
+import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -25,6 +33,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--segment", type=int, default=8192)
     ap.add_argument("--mesh", type=int, default=1, help="data-parallel width")
+    ap.add_argument("--dp", choices=["shard_map", "jit"], default="shard_map",
+                    help="distributed-step implementation when --mesh > 1")
     ap.add_argument("--outdir", default="runs/stage2")
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=25)
@@ -38,7 +48,26 @@ def main() -> None:
                     help="vocoder output head (istft = fast TPU variant)")
     ap.add_argument("--grad-clip", type=float, default=0.0,
                     help="global-norm gradient clip (0 = off)")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="generator EMA decay (0 = off); audio dumps use EMA")
+    ap.add_argument("--reuse-real-feats", action="store_true",
+                    help="reuse D(real) taps from the D step for the G step's "
+                         "feature-matching target (saves one D forward)")
+    ap.add_argument("--bf16-disc", action="store_true",
+                    help="bfloat16 compute in both discriminators (MXU-native)")
+    ap.add_argument("--bf16-gen", action="store_true",
+                    help="bfloat16 compute in the generator")
+    ap.add_argument("--auto-mel-stats", action="store_true",
+                    help="derive MelScaler (shift, scale) from the corpus")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="host-side batch prefetch depth (0 = synchronous)")
+    ap.add_argument("--ram-budget-mb", type=int, default=0,
+                    help="decoded-corpus RAM budget; 0 = load fully in memory")
     args = ap.parse_args()
+
+    from music_synthesis_tpu.utils.env import maybe_force_cpu
+
+    maybe_force_cpu()
 
     import jax
     import jax.numpy as jnp
@@ -48,10 +77,13 @@ def main() -> None:
 
     from music_synthesis_tpu.config import TINY, PipelineConfig, TrainConfig
     from music_synthesis_tpu.data.dataset import AudioDataset, make_synthetic_corpus
+    from music_synthesis_tpu.data.prefetch import Prefetcher
+    from music_synthesis_tpu.data.stats import compute_mel_stats
     from music_synthesis_tpu.parallel.dp import make_dp_stage2_step
     from music_synthesis_tpu.parallel.mesh import (
         make_mesh, replicate_state, shard_batch,
     )
+    from music_synthesis_tpu.parallel.shard_map_dp import make_shardmap_stage2_step
     from music_synthesis_tpu.train import stage2
     from music_synthesis_tpu.train.checkpoint import CheckpointManager
     from music_synthesis_tpu.train.metrics import MetricsLogger
@@ -64,17 +96,43 @@ def main() -> None:
             vocoder, head="istft", upsample_factors=(8, 8),
             istft_n_fft=16, istft_hop=4,
         )
+    if args.bf16_gen:
+        vocoder = dataclasses.replace(vocoder, compute_dtype="bfloat16")
+    msd, mrd = base.msd, base.mrd
+    if args.bf16_disc:
+        msd = dataclasses.replace(msd, compute_dtype="bfloat16")
+        mrd = dataclasses.replace(mrd, compute_dtype="bfloat16")
     cfg = dataclasses.replace(
         base,
         vocoder=vocoder,
+        msd=msd,
+        mrd=mrd,
         train=TrainConfig(
             batch_size=args.batch,
             segment_length=args.segment,
             mesh_shape=(args.mesh,),
             use_pallas_frontend=args.pallas_frontend,
             grad_clip_norm=args.grad_clip,
+            ema_decay=args.ema,
+            reuse_real_features=args.reuse_real_feats,
         ),
     )
+    # Fail fast on configs that would surface as opaque XLA errors later.
+    assert args.batch % max(args.mesh, 1) == 0, (
+        f"--batch {args.batch} must be divisible by --mesh {args.mesh}"
+    )
+    assert cfg.frontend.n_mels == cfg.vocoder.n_mels, (
+        f"frontend.n_mels ({cfg.frontend.n_mels}) != vocoder.n_mels "
+        f"({cfg.vocoder.n_mels}); the conditioning would not type-check"
+    )
+    assert cfg.vocoder.hop_length == cfg.frontend.hop_length, (
+        f"vocoder total upsampling ({cfg.vocoder.hop_length}) must equal the "
+        f"front-end hop ({cfg.frontend.hop_length})"
+    )
+    if args.pallas_frontend and args.mesh > 1 and args.dp == "jit":
+        sys.exit("--pallas-frontend with --mesh > 1 requires --dp shard_map "
+                 "(pallas_call has no SPMD partitioning rule under jit "
+                 "sharding; the shard_map step runs the kernel per-device)")
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
 
@@ -89,8 +147,17 @@ def main() -> None:
         segment_length=cfg.train.segment_length,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        ram_budget_mb=args.ram_budget_mb or None,
     )
-    print(f"corpus: {len(ds.clips)} clips on {jax.device_count()} device(s)")
+    print(f"corpus: {len(ds)} clips on {jax.device_count()} device(s)")
+
+    if args.auto_mel_stats:
+        scaler = compute_mel_stats(ds, cfg, seed=cfg.train.seed)
+        cfg = dataclasses.replace(cfg, mel_scaler=scaler)
+        (outdir / "mel_stats.json").write_text(json.dumps(
+            {"shift": scaler.shift, "scale": scaler.scale}))
+        print(f"mel stats from corpus: shift={scaler.shift:.3f} "
+              f"scale={scaler.scale:.3f}")
 
     state = stage2.make_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
     ckpt = CheckpointManager(outdir / "ckpt")
@@ -103,26 +170,53 @@ def main() -> None:
     if args.mesh > 1:
         mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
         state = replicate_state(state, mesh)
-        step_fn = make_dp_stage2_step(cfg, mesh)
+        if args.dp == "shard_map":
+            step_fn = make_shardmap_stage2_step(cfg, mesh)
+        else:
+            step_fn = make_dp_stage2_step(cfg, mesh)
         prep = lambda x: shard_batch(jnp.asarray(x), mesh)
     else:
         step_fn = lambda s, w: stage2.train_step(cfg, s, w)
         prep = jnp.asarray
 
+    # Vocoded-audio dump: one jitted program reused across dumps. Uses the
+    # EMA generator when enabled (the weights a deployment would serve).
+    gen, _ = stage2.make_models(cfg)
+
+    @jax.jit
+    def dump_fn(g_params, wav1):
+        mel = stage2.conditioning_mel(wav1, cfg)
+        return gen.apply({"params": g_params}, mel)
+
     logger = MetricsLogger(str(outdir / "metrics.jsonl"))
-    for step in range(start_step, args.steps):
-        wav = ds.sample_batch(step, cfg.train.batch_size, cfg.train.seed)
-        state, metrics = step_fn(state, prep(wav))
+    make_batch = lambda step: prep(
+        ds.sample_batch(step, cfg.train.batch_size, cfg.train.seed))
+    if args.prefetch > 0:
+        batches = Prefetcher(make_batch, start_step, args.steps,
+                             depth=args.prefetch)
+    else:
+        batches = ((s, make_batch(s)) for s in range(start_step, args.steps))
+    t_start = time.perf_counter()
+    for step, wav in batches:
+        state, metrics = step_fn(state, wav)
         if (step + 1) % args.log_every == 0 or step == start_step:
             logger.log(step + 1, metrics)
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, state)
         if (step + 1) % args.audio_every == 0:
-            gen, _ = stage2.make_models(cfg)
-            mel = stage2.conditioning_mel(prep(wav[:1]), cfg)
-            fake = gen.apply({"params": state.g_params}, mel)
+            g = state.g_ema if state.g_ema is not None else state.g_params
+            raw = ds.sample_batch(step, 1, cfg.train.seed)
+            fake = dump_fn(g, jnp.asarray(raw))
             write_wav(outdir / f"vocoded_{step + 1:07d}.wav",
                       cfg.frontend.sample_rate, np.asarray(fake[0]))
+            write_wav(outdir / f"real_{step + 1:07d}.wav",
+                      cfg.frontend.sample_rate, raw[0])
+    jax.block_until_ready(state.g_params)
+    dt = time.perf_counter() - t_start
+    n_done = args.steps - start_step
+    if n_done > 0:
+        print(f"loop: {n_done} steps in {dt:.1f}s "
+              f"({1e3 * dt / n_done:.1f} ms/step incl. host pipeline)")
     ckpt.save(args.steps, state, wait=True)
     ckpt.close()
     logger.close()
