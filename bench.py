@@ -112,13 +112,13 @@ def bench_stage2_step(results: dict) -> None:
         results[name] = round(best * 1e3, 2)
 
         # FLOP accounting for the MFU/roofline paragraph (DESIGN.md §2):
-        # XLA's own cost model for the compiled step program.
+        # XLA's own cost model, via the already-compiled n=1 loop program
+        # (one scan iteration = one step; avoids a third large compile).
         try:
             state = stage2.make_train_state(cfg, jax.random.PRNGKey(0))
-            lowered = jax.jit(
-                functools.partial(stage2.train_step_impl, cfg)
-            ).lower(state, jnp.zeros((b, seg), jnp.float32))
-            cost = lowered.compile().cost_analysis()
+            cost = many.lower(
+                1, state, jax.random.PRNGKey(0)
+            ).compile().cost_analysis()
             flops = float(cost.get("flops", 0.0))
             results[name + "_tflops_per_s"] = round(
                 flops / best / 1e12, 2

@@ -21,7 +21,7 @@ import numpy as np
 
 from music_synthesis_tpu.utils.wav import load_wav, write_wav
 
-__all__ = ["AudioDataset", "make_synthetic_corpus"]
+__all__ = ["AudioDataset", "make_synthetic_corpus", "make_rich_corpus"]
 
 
 class AudioDataset:
@@ -158,6 +158,124 @@ def make_synthetic_corpus(
         if peak > 0:
             wav = 0.7 * wav / peak
         p = root / f"clip_{c:03d}.wav"
+        write_wav(p, sample_rate, wav)
+        paths.append(p)
+    return paths
+
+
+# Just-intonation-ish chord shapes over a root, in semitones.
+_CHORDS = ((0, 4, 7), (0, 3, 7), (0, 5, 9), (0, 4, 7, 11), (0, 3, 7, 10))
+_SCALE = (0, 2, 4, 5, 7, 9, 11)  # major scale degrees
+
+
+def _render_note(
+    t: np.ndarray, f0: float, timbre: dict, rng: np.random.Generator
+) -> np.ndarray:
+    """One note on [0, len(t)) with the given instrument timbre."""
+    n = len(t)
+    harm = timbre["harmonics"]
+    bright = timbre["brightness"] * rng.uniform(0.7, 1.3)
+    # Attack/decay envelope; organ-like timbres sustain, plucks decay fast.
+    attack = timbre["attack"] * rng.uniform(0.5, 1.5)
+    decay = timbre["decay"] * rng.uniform(0.6, 1.6)
+    env = np.minimum(t / max(attack, 1e-4), 1.0)
+    if timbre["sustain"] < 1.0:
+        env = env * np.exp(-t / decay)
+    else:
+        release = 0.05
+        env = env * np.clip((t[-1] - t) / release, 0.0, 1.0)
+    vib = timbre["vibrato"] * np.sin(2 * np.pi * rng.uniform(4.5, 6.5) * t)
+    phase = 2 * np.pi * f0 * (t + vib)
+    out = np.zeros(n)
+    for h in range(1, harm + 1):
+        amp = bright ** (h - 1) / h
+        # Per-harmonic decay: high partials die faster (physical strings).
+        henv = env * np.exp(-t * timbre["hf_damp"] * (h - 1))
+        out += amp * henv * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
+    return out
+
+
+def make_rich_corpus(
+    root: str | os.PathLike,
+    n_clips: int = 256,
+    seconds: float = 30.0,
+    sample_rate: int = 22_050,
+    seed: int = 0,
+) -> list[Path]:
+    """Deterministic polyphonic corpus: melodies + chords + percussion over
+    several instrument timbres (pluck / organ / brass-ish / bell), per-clip
+    key and tempo. Default size ~2.1 hours — the scale knob for the long
+    training runs (VERDICT r1 next-round #1) when no real corpus is mounted.
+    """
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    timbres = [
+        # harmonics, brightness (partial rolloff), attack s, decay s,
+        # sustain flag, vibrato depth s, high-frequency damping
+        dict(harmonics=8, brightness=0.75, attack=0.004, decay=0.5,
+             sustain=0.0, vibrato=0.0, hf_damp=3.0),      # pluck
+        dict(harmonics=6, brightness=0.5, attack=0.05, decay=2.0,
+             sustain=1.0, vibrato=0.0005, hf_damp=0.2),   # organ
+        dict(harmonics=10, brightness=0.85, attack=0.03, decay=1.0,
+             sustain=0.0, vibrato=0.001, hf_damp=1.0),    # brass-ish
+        dict(harmonics=5, brightness=0.4, attack=0.002, decay=1.8,
+             sustain=0.0, vibrato=0.0, hf_damp=0.5),      # bell/keys
+    ]
+    n = int(seconds * sample_rate)
+    paths = []
+    for c in range(n_clips):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 7919, c]))
+        wav = np.zeros(n, np.float64)
+        key_hz = 110.0 * 2.0 ** (rng.integers(0, 12) / 12.0)
+        bpm = rng.uniform(60, 150)
+        beat = 60.0 / bpm
+        melody_timbre = timbres[rng.integers(0, len(timbres))]
+        chord_timbre = timbres[rng.integers(0, len(timbres))]
+
+        # Chord pads every 2-4 beats.
+        tc = 0.0
+        while tc < seconds - 1.0:
+            dur = beat * rng.integers(2, 5)
+            shape = _CHORDS[rng.integers(0, len(_CHORDS))]
+            base = key_hz * 2.0 ** (rng.choice(_SCALE) / 12.0)
+            i0 = int(tc * sample_rate)
+            i1 = min(int((tc + dur) * sample_rate), n)
+            tt = np.arange(i1 - i0) / sample_rate
+            for semi in shape:
+                f = base * 2.0 ** (semi / 12.0)
+                wav[i0:i1] += 0.12 * _render_note(tt, f, chord_timbre, rng)
+            tc += dur
+
+        # Melody: scale steps on eighth/quarter notes, two octaves up.
+        tm = 0.0
+        degree = int(rng.integers(0, 7))
+        while tm < seconds - 0.5:
+            dur = beat * rng.choice((0.5, 0.5, 1.0, 1.0, 2.0))
+            degree = int(np.clip(degree + rng.integers(-2, 3), 0, 6))
+            octave = 2 + int(rng.integers(0, 2))
+            f = key_hz * (2.0 ** octave) * 2.0 ** (_SCALE[degree] / 12.0)
+            i0 = int(tm * sample_rate)
+            i1 = min(int((tm + dur * rng.uniform(0.8, 1.0)) * sample_rate), n)
+            tt = np.arange(i1 - i0) / sample_rate
+            wav[i0:i1] += 0.25 * _render_note(tt, f, melody_timbre, rng)
+            tm += dur
+
+        # Percussion: short filtered-noise hits on the beat grid.
+        tp = 0.0
+        while tp < seconds - 0.2:
+            if rng.uniform() < 0.7:
+                i0 = int(tp * sample_rate)
+                hit_len = int(rng.uniform(0.01, 0.06) * sample_rate)
+                i1 = min(i0 + hit_len, n)
+                noise = rng.normal(0, 1, i1 - i0)
+                noise = np.diff(noise, prepend=0.0)  # high-pass-ish
+                envp = np.exp(-np.arange(i1 - i0) / (0.25 * hit_len + 1))
+                wav[i0:i1] += 0.08 * noise * envp
+            tp += beat / 2
+        peak = np.abs(wav).max()
+        if peak > 0:
+            wav = 0.6 * wav / peak
+        p = root / f"rich_{c:04d}.wav"
         write_wav(p, sample_rate, wav)
         paths.append(p)
     return paths

@@ -53,7 +53,17 @@ class CheckpointManager:
         concrete state pytree). Defaults to the latest step."""
         if step is None:
             step = self._mgr.latest_step()
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+        # eval_shape templates (abstract_state) carry no sharding; orbax
+        # requires a concrete one — default to single-device placement.
+        default = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def to_abstract(x):
+            s = ocp.utils.to_shape_dtype_struct(x)
+            if getattr(s, "sharding", None) is None:
+                s = jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=default)
+            return s
+
+        abstract = jax.tree.map(to_abstract, state_like)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
     def latest_step(self) -> int | None:

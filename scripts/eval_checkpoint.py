@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Copy-synthesis fidelity evaluation of a trained stage-2 checkpoint
+(VERDICT r1 next-round #1; BASELINE.json:2 proxy).
+
+Samples held-out segments from the corpus, resynthesizes each from its own
+log-mel conditioning through the trained vocoder (EMA weights when present),
+and reports the multi-res STFT distance — the judged parity metric — plus an
+HTML report with paired real/resynth audio.
+
+  python scripts/eval_checkpoint.py --run runs/stage2_50k \
+      --corpus runs/corpus_rich --out runs/stage2_50k/eval
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", required=True, help="training outdir (with ckpt/)")
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--out", default=None, help="default: RUN/eval")
+    ap.add_argument("--preset", choices=["default", "tiny"], default="default")
+    ap.add_argument("--head", choices=["waveform", "istft"], default="waveform")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="must match training (controls checkpoint structure)")
+    ap.add_argument("--n-clips", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=4.0)
+    ap.add_argument("--step", type=int, default=None, help="ckpt step (latest)")
+    args = ap.parse_args()
+
+    from music_synthesis_tpu.utils.env import maybe_force_cpu
+
+    maybe_force_cpu()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from music_synthesis_tpu.config import (
+        MelScaler, TINY, PipelineConfig, TrainConfig,
+    )
+    from music_synthesis_tpu.data.dataset import AudioDataset
+    from music_synthesis_tpu.losses.stft_loss import multires_stft_loss
+    from music_synthesis_tpu.models.vocoder import Vocoder
+    from music_synthesis_tpu.train import stage2
+    from music_synthesis_tpu.train.checkpoint import CheckpointManager, abstract_state
+    from music_synthesis_tpu.utils.report import write_report
+    from music_synthesis_tpu.utils.wav import write_wav
+
+    run = Path(args.run)
+    out = Path(args.out) if args.out else run / "eval"
+    out.mkdir(parents=True, exist_ok=True)
+
+    base = TINY if args.preset == "tiny" else PipelineConfig()
+    vocoder = base.vocoder
+    if args.head == "istft":
+        vocoder = dataclasses.replace(
+            vocoder, head="istft", upsample_factors=(8, 8),
+            istft_n_fft=16, istft_hop=4,
+        )
+    cfg = dataclasses.replace(
+        base, vocoder=vocoder,
+        train=dataclasses.replace(base.train, ema_decay=args.ema),
+    )
+    stats_file = run / "mel_stats.json"
+    if stats_file.exists():
+        s = json.loads(stats_file.read_text())
+        cfg = dataclasses.replace(
+            cfg, mel_scaler=MelScaler(shift=s["shift"], scale=s["scale"])
+        )
+        print(f"using corpus mel stats: {s}")
+
+    ckpt = CheckpointManager(run / "ckpt")
+    state = ckpt.restore(abstract_state(cfg, stage=2), step=args.step)
+    step = int(state.step)
+    g = state.g_ema if state.g_ema is not None else state.g_params
+    which = "ema" if state.g_ema is not None else "raw"
+    print(f"checkpoint step {step} ({which} generator weights)")
+
+    seg = int(args.seconds * cfg.frontend.sample_rate)
+    seg = seg // cfg.frontend.hop_length * cfg.frontend.hop_length
+    ds = AudioDataset(args.corpus, sample_rate=cfg.frontend.sample_rate,
+                      segment_length=seg)
+
+    voc = Vocoder(cfg.vocoder)
+
+    @jax.jit
+    def copy_synth(wav_in):
+        mel = stage2.conditioning_mel(wav_in, cfg)
+        return voc.apply({"params": g}, mel)
+
+    dist_fn = jax.jit(lambda a, b: multires_stft_loss(a, b, cfg.stft_loss))
+
+    clips, dists = [], []
+    for i in range(args.n_clips):
+        # Held-out step indices far from any training step.
+        real = ds.sample_batch(2**29 + i, 1, seed=1234)
+        x = jnp.asarray(real)
+        y = copy_synth(x)
+        d = float(dist_fn(y, x))
+        dists.append(d)
+        write_wav(out / f"real_{i:02d}.wav", cfg.frontend.sample_rate, real[0])
+        write_wav(out / f"resynth_{i:02d}.wav", cfg.frontend.sample_rate,
+                  np.asarray(y[0]))
+        clips.append((f"real {i}", real[0]))
+        clips.append((f"resynth {i} (stft_dist={d:.4f})", np.asarray(y[0])))
+        print(f"clip {i}: multires_stft_distance = {d:.4f}")
+
+    metrics = {
+        "checkpoint_step": step,
+        "copy_synthesis_multires_stft_distance_mean": float(np.mean(dists)),
+        "copy_synthesis_multires_stft_distance_std": float(np.std(dists)),
+        "n_clips": args.n_clips,
+        "generator_weights": 0.0 if which == "raw" else 1.0,
+    }
+    (out / "eval.json").write_text(json.dumps(metrics, indent=1))
+    write_report(out / "report.html",
+                 f"copy-synthesis eval @ step {step} ({which})",
+                 clips, cfg.frontend.sample_rate, metrics=metrics)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,24 @@ def test_dataset_ram_budget_matches_in_memory(tmp_path):
     assert lru._cache_bytes <= budget_mb * (1 << 20) or len(lru._cache) == 1
 
 
+def test_rich_corpus_deterministic_and_audible(tmp_path):
+    """Rich polyphonic corpus: deterministic in seed, non-degenerate audio."""
+    from music_synthesis_tpu.data.dataset import make_rich_corpus
+    from music_synthesis_tpu.utils.wav import load_wav
+
+    p1 = make_rich_corpus(tmp_path / "a", n_clips=2, seconds=2.0, seed=5)
+    p2 = make_rich_corpus(tmp_path / "b", n_clips=2, seconds=2.0, seed=5)
+    w1 = load_wav(p1[0], 22050)
+    np.testing.assert_array_equal(w1, load_wav(p2[0], 22050))
+    # Audible and dynamic: real RMS, not silence or DC or constant tone.
+    assert 0.02 < float(np.sqrt(np.mean(w1**2))) < 0.5
+    assert float(np.abs(w1).max()) <= 0.62
+    halves = np.split(w1[: 2 * (len(w1) // 2)], 2)
+    assert not np.allclose(halves[0], halves[1], atol=1e-3)
+    # Clips differ from each other.
+    assert not np.array_equal(w1, load_wav(p1[1], 22050))
+
+
 def test_mel_stats_normalize_corpus_to_unit_range(tmp_path):
     """Corpus-derived MelScaler maps real log-mel into ~[-1, 1]."""
     from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
