@@ -5,7 +5,12 @@ one XLA program (the reference notebooks' public API).
 
   python scripts/generate.py --stage1 runs/stage1/ckpt --stage2 runs/stage2/ckpt \\
       --n 4 --out generated/
-Untrained (random-weight) generation works without checkpoints for smoke use.
+--stage1/--stage2 accept a training checkpoint dir, a model-zoo entry name
+(e.g. ``vocoder_rich50k``), or a zoo entry directory; zoo entries override
+the preset's model config with the one the weights were trained under, and
+--ema1/--ema2 must match training when restoring raw checkpoint dirs (EMA
+weights are served when present). Untrained (random-weight) generation works
+without checkpoints for smoke use.
 """
 
 import argparse
@@ -18,8 +23,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage1", default=None, help="stage-1 ckpt dir")
-    ap.add_argument("--stage2", default=None, help="stage-2 ckpt dir")
+    ap.add_argument("--stage1", default=None,
+                    help="stage-1 ckpt dir or zoo entry")
+    ap.add_argument("--stage2", default=None,
+                    help="stage-2 ckpt dir or zoo entry")
+    ap.add_argument("--ema1", type=float, default=0.0,
+                    help="stage-1 EMA decay used in training (ckpt dirs only)")
+    ap.add_argument("--ema2", type=float, default=0.0,
+                    help="stage-2 EMA decay used in training (ckpt dirs only)")
     ap.add_argument("--n", type=int, default=4, help="clips to generate")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="generated")
@@ -61,18 +72,42 @@ def main() -> None:
 
     from music_synthesis_tpu.train.checkpoint import abstract_state
 
+    import dataclasses
+
+    from music_synthesis_tpu import zoo
+
+    def load_generator(src: str, stage: int, ema: float, cfg):
+        """src = zoo entry (name or dir) | checkpoint dir. Returns
+        (params, cfg) with cfg's model config overridden by a zoo card."""
+        p = Path(src)
+        is_zoo = (p / "card.json").exists() or (
+            not p.exists() and (zoo.ZOO_ROOT / src / "card.json").exists()
+        )
+        if is_zoo:
+            e = zoo.load_pretrained(src)
+            want = "specgan" if stage == 1 else "vocoder"
+            assert e.kind == want, f"{src} is a {e.kind}, need {want}"
+            field = "specgan" if stage == 1 else "vocoder"
+            print(f"stage {stage}: zoo entry {e.name} "
+                  f"({e.card['n_params'] / 1e6:.2f}M params; "
+                  f"{e.card.get('notes', '')})")
+            return e.params, dataclasses.replace(cfg, **{field: e.config})
+        c = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, ema_decay=ema))
+        st = CheckpointManager(src).restore(abstract_state(c, stage=stage))
+        params = st.g_ema if st.g_ema is not None else st.g_params
+        which = "ema" if st.g_ema is not None else "raw"
+        print(f"stage {stage}: checkpoint {src} @ step {int(st.step)} ({which})")
+        return params, cfg
+
     if args.stage1:
-        g1 = CheckpointManager(args.stage1).restore(
-            abstract_state(cfg, stage=1)
-        ).g_params
+        g1, cfg = load_generator(args.stage1, 1, args.ema1, cfg)
     else:
         g1 = SpectrogramGenerator(cfg.specgan).init(
             jax.random.PRNGKey(0), jnp.zeros((1, cfg.specgan.latent_dim))
         )["params"]
     if args.stage2:
-        g2 = CheckpointManager(args.stage2).restore(
-            abstract_state(cfg, stage=2)
-        ).g_params
+        g2, cfg = load_generator(args.stage2, 2, args.ema2, cfg)
     else:
         g2 = Vocoder(cfg.vocoder).init(
             jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.vocoder.n_mels))
