@@ -191,6 +191,13 @@ class TrainConfig:
     reuse_real_features: bool = False
     lambda_feature_matching: float = 10.0
     lambda_stft: float = 2.5
+    # ParallelWaveGAN-style generator warmup (stage 2 only): for the first N
+    # steps the generator trains on the multi-res STFT loss alone and the
+    # discriminator update is masked, so the adversarial game starts from a
+    # spectrally/amplitude-accurate generator instead of trapping it in a
+    # low-energy equilibrium. The gate is traced on state.step — one compiled
+    # program covers both phases, no recompile at the boundary. 0 = off.
+    g_warmup_steps: int = 0
     seed: int = 0
     checkpoint_every: int = 1000
     log_every: int = 50

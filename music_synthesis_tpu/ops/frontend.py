@@ -108,9 +108,19 @@ def magnitude_stft(
     win_length: int | None = None,
     eps: float = 1e-7,
 ) -> jax.Array:
-    """|STFT| with a numerical floor, used by losses and discriminators."""
+    """|STFT| with a numerical floor, used by losses and discriminators.
+
+    The floor is the SMOOTH ``sqrt(power + eps)``, not ``sqrt(max(power,
+    eps))``: a hard max zeroes the gradient wherever the signal's spectral
+    power is below eps, which silences the multi-res STFT loss exactly when
+    the generator is quiet — the regime where its amplitude gradient matters
+    most (a near-silent generator would otherwise learn loudness only through
+    the discriminator pathway). Values differ from the hard floor by at most
+    ~(sqrt(2)-1)*sqrt(eps) ≈ 1.3e-4 absolute, well inside fp32 fixture
+    tolerance.
+    """
     s = stft(x, n_fft=n_fft, hop_length=hop_length, win_length=win_length)
-    return jnp.sqrt(jnp.maximum(jnp.real(s) ** 2 + jnp.imag(s) ** 2, eps))
+    return jnp.sqrt(jnp.real(s) ** 2 + jnp.imag(s) ** 2 + eps)
 
 
 def _hz_to_mel(f: np.ndarray) -> np.ndarray:

@@ -123,6 +123,13 @@ def train_step_impl(
             fake_logits, _ = disc.apply({"params": d_params}, fake_sg)
         return hinge_d_loss(real_logits, fake_logits), real_feats
 
+    # Generator-warmup gate: 1.0 once the adversarial game is on. Traced on
+    # state.step so both phases share one compiled program.
+    adv_on = (
+        (state.step >= t.g_warmup_steps).astype(jnp.float32)
+        if t.g_warmup_steps > 0 else None
+    )
+
     with jax.named_scope("d_step"):
         (d_loss, real_feats_d), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
@@ -131,6 +138,14 @@ def train_step_impl(
         d_grad_norm = optax.global_norm(d_grads)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_update_norm = optax.global_norm(d_updates)
+        if adv_on is not None:
+            # Freeze D during warmup: mask the update and keep the optimizer
+            # state, so D's Adam statistics start clean at warmup end.
+            d_updates = jax.tree.map(lambda u: adv_on * u, d_updates)
+            d_opt = jax.tree.map(
+                lambda new, old: jnp.where(adv_on > 0, new, old),
+                d_opt, state.d_opt,
+            )
         d_params = optax.apply_updates(state.d_params, d_updates)
     real_feats_d = jax.lax.stop_gradient(real_feats_d)
 
@@ -155,9 +170,9 @@ def train_step_impl(
             adv = hinge_g_loss(fake_logits)
             fm = feature_matching_loss(real_feats, fake_feats)
             stft = multires_stft_loss(fake_g, wav, cfg.stft_loss, axis_name)
+            adv_w = adv_on if adv_on is not None else 1.0
             total = (
-                adv
-                + t.lambda_feature_matching * fm
+                adv_w * (adv + t.lambda_feature_matching * fm)
                 + t.lambda_stft * stft
             )
         return total, {"g_adv": adv, "g_fm": fm, "g_stft": stft}

@@ -50,6 +50,9 @@ def main() -> None:
                     help="global-norm gradient clip (0 = off)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="generator EMA decay (0 = off); audio dumps use EMA")
+    ap.add_argument("--g-warmup", type=int, default=0,
+                    help="train G on STFT loss alone (D frozen) for the "
+                         "first N steps before starting the adversarial game")
     ap.add_argument("--reuse-real-feats", action="store_true",
                     help="reuse D(real) taps from the D step for the G step's "
                          "feature-matching target (saves one D forward)")
@@ -115,6 +118,7 @@ def main() -> None:
             grad_clip_norm=args.grad_clip,
             ema_decay=args.ema,
             reuse_real_features=args.reuse_real_feats,
+            g_warmup_steps=args.g_warmup,
         ),
     )
     # Fail fast on configs that would surface as opaque XLA errors later.

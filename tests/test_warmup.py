@@ -1,0 +1,112 @@
+"""Generator-warmup gate (TrainConfig.g_warmup_steps): during warmup the
+discriminator is frozen and G trains on the STFT loss alone; at warmup end
+the adversarial game starts — all inside ONE compiled step program (the gate
+is traced on state.step, so the phase boundary causes no recompile)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_synthesis_tpu.config import TINY
+from music_synthesis_tpu.train import stage2
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _cfg(warmup):
+    return dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, g_warmup_steps=warmup)
+    )
+
+
+def _norm(tree):
+    return float(
+        jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(tree)))
+    )
+
+
+def test_warmup_freezes_d_and_skips_adv():
+    cfg = _cfg(warmup=2)
+    state = stage2.make_train_state(cfg, KEY)
+    b, l = cfg.train.batch_size, cfg.train.segment_length
+    wav = 0.3 * jnp.sin(
+        jnp.linspace(0, 400, l)[None, :] * jnp.arange(1, b + 1)[:, None]
+    )
+    d0 = jax.tree.map(jnp.copy, state.d_params)
+    g0 = jax.tree.map(jnp.copy, state.g_params)
+
+    # Steps 0 and 1: warmup. D must be bit-identical; G must move.
+    for i in range(2):
+        state, m = stage2.train_step(cfg, state, wav)
+        assert np.isfinite(m["g_stft"])
+    for a, b_ in zip(jax.tree.leaves(d0), jax.tree.leaves(state.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    g_moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b_))
+        for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(state.g_params))
+    )
+    assert g_moved, "generator did not train during warmup"
+
+    # Step 2: adversarial game starts — D moves now.
+    state, m = stage2.train_step(cfg, state, wav)
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b_))
+        for a, b_ in zip(jax.tree.leaves(d0), jax.tree.leaves(state.d_params))
+    )
+    assert moved
+    assert np.isfinite(m["d_loss"]) and np.isfinite(m["g_adv"])
+
+
+def test_warmup_g_grads_are_pure_stft():
+    """During warmup the G update must be exactly the λ_stft·stft gradient:
+    compare against a hand-built gradient with adv/FM terms removed."""
+    cfg = _cfg(warmup=1)
+    state = stage2.make_train_state(cfg, KEY)
+    b, l = cfg.train.batch_size, cfg.train.segment_length
+    wav = 0.2 * jnp.tanh(
+        jax.random.normal(jax.random.fold_in(KEY, 9), (b, l))
+    )
+
+    from music_synthesis_tpu.losses.stft_loss import multires_stft_loss
+
+    gen, _ = stage2.make_models(cfg)
+    mel = stage2.conditioning_mel(wav, cfg)
+
+    def stft_only(g_params):
+        fake = gen.apply({"params": g_params}, mel)
+        return cfg.train.lambda_stft * multires_stft_loss(
+            fake, wav, cfg.stft_loss
+        )
+
+    want = jax.grad(stft_only)(state.g_params)
+
+    # Recover the actual warmup G gradient from the step's update by running
+    # the same optimizer transform on the hand-built gradient.
+    import optax
+
+    from music_synthesis_tpu.train.state import make_optimizer
+
+    tx = make_optimizer(cfg.train.g_lr, cfg.train)
+    want_updates, _ = tx.update(want, state.g_opt, state.g_params)
+    want_params = optax.apply_updates(state.g_params, want_updates)
+
+    new_state, _ = stage2.train_step(cfg, state, wav)
+    for a, b_ in zip(
+        jax.tree.leaves(want_params), jax.tree.leaves(new_state.g_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-7
+        )
+
+
+def test_warmup_off_is_default_path():
+    """g_warmup_steps=0 must reproduce the exact no-gate step (no masking
+    ops in the program)."""
+    cfg0 = TINY
+    state = stage2.make_train_state(cfg0, KEY)
+    b, l = cfg0.train.batch_size, cfg0.train.segment_length
+    wav = 0.1 * jnp.cos(jnp.linspace(0, 50, l))[None, :].repeat(b, 0)
+    s_a, m_a = stage2.train_step(cfg0, state, wav)
+    assert np.isfinite(m_a["d_loss"])
