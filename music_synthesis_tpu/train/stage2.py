@@ -137,7 +137,6 @@ def train_step_impl(
         d_grads = pmean(d_grads)
         d_grad_norm = optax.global_norm(d_grads)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
-        d_update_norm = optax.global_norm(d_updates)
         if adv_on is not None:
             # Freeze D during warmup: mask the update and keep the optimizer
             # state, so D's Adam statistics start clean at warmup end.
@@ -146,6 +145,7 @@ def train_step_impl(
                 lambda new, old: jnp.where(adv_on > 0, new, old),
                 d_opt, state.d_opt,
             )
+        d_update_norm = optax.global_norm(d_updates)  # applied (post-mask)
         d_params = optax.apply_updates(state.d_params, d_updates)
     real_feats_d = jax.lax.stop_gradient(real_feats_d)
 
