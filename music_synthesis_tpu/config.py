@@ -193,10 +193,12 @@ class TrainConfig:
     lambda_stft: float = 2.5
     # ParallelWaveGAN-style generator warmup (stage 2 only): for the first N
     # steps the generator trains on the multi-res STFT loss alone and the
-    # discriminator update is masked, so the adversarial game starts from a
-    # spectrally/amplitude-accurate generator instead of trapping it in a
-    # low-energy equilibrium. The gate is traced on state.step — one compiled
-    # program covers both phases, no recompile at the boundary. 0 = off.
+    # discriminator update is masked. The gate is traced on state.step — one
+    # compiled program covers both phases, no recompile at the boundary.
+    # 0 = off. CAVEAT (measured; docs/DESIGN.md §8): for the deterministic
+    # mel-only vocoder a phase-invariant warmup collapses the generator to
+    # silence and cannot escape it — use only with a noise-excited generator;
+    # the default adversarial-from-step-0 recipe is correct here.
     g_warmup_steps: int = 0
     seed: int = 0
     checkpoint_every: int = 1000
