@@ -204,7 +204,15 @@ def train_step_impl(
         rng=state.rng,
         g_ema=g_ema,
     )
-    metrics = pmean({"d_loss": d_loss, "g_loss": g_loss, **aux})
+    # Amplitude health: a collapsing ratio flags the silent-generator trap
+    # (docs/DESIGN.md §8) long before audio dumps would.
+    rms_ratio = jnp.sqrt(
+        (jnp.mean(jnp.square(fake)) + 1e-12)
+        / (jnp.mean(jnp.square(wav)) + 1e-12)
+    )
+    metrics = pmean(
+        {"d_loss": d_loss, "g_loss": g_loss, "g_rms_ratio": rms_ratio, **aux}
+    )
     metrics["d_grad_norm"] = d_grad_norm
     metrics["g_grad_norm"] = g_grad_norm
     metrics["d_update_norm"] = d_update_norm

@@ -92,31 +92,39 @@ def main() -> None:
     m = load(run)
     step = m["step"]
 
-    stage1 = "g_stft" not in m  # stage-1 logs only adversarial terms
-    n_panels = 2 if stage1 else 4
-    fig, axes = plt.subplots(n_panels, 1, figsize=(9, 2.6 * n_panels),
+    panels = [(
+        [("g_adv", m.get("g_adv", m.get("g_loss")), C_G),
+         ("d_loss", m["d_loss"], C_D)],
+        "adversarial losses", False,
+    )]
+    if "g_stft" in m:
+        panels.append((
+            [("g_stft", m["g_stft"], C_AUX1), ("g_fm", m["g_fm"], C_AUX2)],
+            "generator auxiliary losses (multi-res STFT, feature matching)",
+            False,
+        ))
+    if "g_rms_ratio" in m:
+        panels.append((
+            [("g_rms_ratio", m["g_rms_ratio"], C_AUX1)],
+            "generated/real RMS ratio (amplitude health; want ~1)", False,
+        ))
+    if "g_grad_norm" in m:
+        panels.append((
+            [("g_grad_norm", m["g_grad_norm"], C_G),
+             ("d_grad_norm", m.get("d_grad_norm"), C_D)],
+            "gradient norms", True,
+        ))
+    if "g_update_norm" in m:
+        panels.append((
+            [("g_update_norm", m["g_update_norm"], C_G),
+             ("d_update_norm", m.get("d_update_norm"), C_D)],
+            "post-update parameter-delta norms", True,
+        ))
+    fig, axes = plt.subplots(len(panels), 1, figsize=(9, 2.6 * len(panels)),
                              sharex=True, facecolor="#fcfcfb")
     axes = np.atleast_1d(axes)
-    panel(axes[0], step,
-          [("g_adv", m.get("g_adv", m.get("g_loss")), C_G),
-           ("d_loss", m["d_loss"], C_D)],
-          "adversarial losses")
-    if not stage1:
-        panel(axes[1], step,
-              [("g_stft", m["g_stft"], C_AUX1),
-               ("g_fm", m["g_fm"], C_AUX2)],
-              "generator auxiliary losses (multi-res STFT, feature matching)")
-    g_gn = m.get("g_grad_norm")
-    d_gn = m.get("d_grad_norm")
-    if g_gn is not None:
-        panel(axes[-2], step, [("g_grad_norm", g_gn, C_G),
-                               ("d_grad_norm", d_gn, C_D)],
-              "gradient norms", logy=True)
-    g_un = m.get("g_update_norm")
-    if g_un is not None:
-        panel(axes[-1], step, [("g_update_norm", g_un, C_G),
-                               ("d_update_norm", m.get("d_update_norm"), C_D)],
-              "post-update parameter-delta norms", logy=True)
+    for ax, (series, title, logy) in zip(axes, panels):
+        panel(ax, step, series, title, logy=logy)
     axes[-1].set_xlabel("step", fontsize=9, color=INK2)
     fig.suptitle(args.title or f"{run.name} training curves",
                  fontsize=12, color=INK, x=0.01, ha="left")
