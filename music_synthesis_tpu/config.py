@@ -93,6 +93,11 @@ class VocoderConfig:
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native mixed precision
+    # Weight init: "dcgan" = N(0, 0.02), the MelGAN-family recipe (end-to-end
+    # generator gain ~1e-5 at default widths -> near-silent start, see
+    # docs/DESIGN.md §8); "he" = N(0, sqrt(2/fan_in)), per-layer gain ~1 ->
+    # healthy output amplitude from step 0.
+    init_scheme: str = "dcgan"
     # "transpose": ConvTranspose1d(k=2u, stride=u) — the reference family's
     # choice. "repeat": nearest-neighbor repeat + Conv1d(k=2u+1) — same
     # receptive field, different lowering; pick by profile (SURVEY.md §7 #2).

@@ -31,6 +31,7 @@ class ResidualBlock(nn.Module):
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
     compute_dtype: str = "float32"
+    init_scheme: str = "dcgan"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -38,16 +39,19 @@ class ResidualBlock(nn.Module):
         y = WNConv(
             self.channels, (self.kernel,), dilations=(self.dilation,),
             padding="reflect", use_weight_norm=self.use_weight_norm,
-            compute_dtype=self.compute_dtype, name="dilated",
+            compute_dtype=self.compute_dtype,
+            init_scheme=self.init_scheme, name="dilated",
         )(y)
         y = nn.leaky_relu(y, self.leaky_slope)
         y = WNConv(
             self.channels, (1,), use_weight_norm=self.use_weight_norm,
-            compute_dtype=self.compute_dtype, name="pointwise",
+            compute_dtype=self.compute_dtype,
+            init_scheme=self.init_scheme, name="pointwise",
         )(y)
         shortcut = WNConv(
             self.channels, (1,), use_weight_norm=self.use_weight_norm,
-            compute_dtype=self.compute_dtype, name="shortcut",
+            compute_dtype=self.compute_dtype,
+            init_scheme=self.init_scheme, name="shortcut",
         )(x)
         return shortcut + y
 
@@ -61,13 +65,15 @@ class ResidualStack(nn.Module):
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
     compute_dtype: str = "float32"
+    init_scheme: str = "dcgan"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for d in self.dilations:
             x = ResidualBlock(
                 self.channels, d, self.kernel, self.leaky_slope,
-                self.use_weight_norm, self.compute_dtype, name=f"block_d{d}",
+                self.use_weight_norm, self.compute_dtype,
+                self.init_scheme, name=f"block_d{d}",
             )(x)
         return x
 
@@ -83,7 +89,8 @@ class Vocoder(nn.Module):
         x = WNConv(
             cfg.base_channels, (cfg.input_kernel,), padding="reflect",
             use_weight_norm=cfg.use_weight_norm,
-            compute_dtype=cfg.compute_dtype, name="conv_in",
+            compute_dtype=cfg.compute_dtype,
+            init_scheme=cfg.init_scheme, name="conv_in",
         )(mel)
         channels = cfg.base_channels
         for i, u in enumerate(cfg.upsample_factors):
@@ -93,21 +100,23 @@ class Vocoder(nn.Module):
                 x = WNConvTranspose1d(
                     channels, kernel_size=2 * u, stride=u,
                     use_weight_norm=cfg.use_weight_norm,
-                    compute_dtype=cfg.compute_dtype, name=f"upsample_{i}",
+                    compute_dtype=cfg.compute_dtype,
+                    init_scheme=cfg.init_scheme, name=f"upsample_{i}",
                 )(x)
             elif cfg.upsample_mode == "repeat":
                 x = jnp.repeat(x, u, axis=1)
                 x = WNConv(
                     channels, (2 * u + 1,), padding="reflect",
                     use_weight_norm=cfg.use_weight_norm,
-                    compute_dtype=cfg.compute_dtype, name=f"upsample_{i}",
+                    compute_dtype=cfg.compute_dtype,
+                    init_scheme=cfg.init_scheme, name=f"upsample_{i}",
                 )(x)
             else:
                 raise ValueError(f"unknown upsample_mode {cfg.upsample_mode}")
             x = ResidualStack(
                 channels, cfg.res_dilations, cfg.res_kernel,
                 cfg.leaky_slope, cfg.use_weight_norm, cfg.compute_dtype,
-                name=f"res_{i}",
+                cfg.init_scheme, name=f"res_{i}",
             )(x)
         x = nn.leaky_relu(x, cfg.leaky_slope)
         if cfg.head == "istft":
@@ -121,7 +130,8 @@ class Vocoder(nn.Module):
             spec = WNConv(
                 2 * n_bins, (cfg.output_kernel,), padding="reflect",
                 use_weight_norm=cfg.use_weight_norm,
-                compute_dtype=cfg.compute_dtype, name="conv_out",
+                compute_dtype=cfg.compute_dtype,
+                init_scheme=cfg.init_scheme, name="conv_out",
             )(x).astype(jnp.float32)
             log_mag, phase = spec[..., :n_bins], spec[..., n_bins:]
             # Soft-bounded magnitude: exp saturating at e^2 per bin keeps the
@@ -138,6 +148,7 @@ class Vocoder(nn.Module):
         x = WNConv(
             1, (cfg.output_kernel,), padding="reflect",
             use_weight_norm=cfg.use_weight_norm,
-            compute_dtype=cfg.compute_dtype, name="conv_out",
+            compute_dtype=cfg.compute_dtype,
+            init_scheme=cfg.init_scheme, name="conv_out",
         )(x)
         return jnp.tanh(x.astype(jnp.float32))[..., 0]

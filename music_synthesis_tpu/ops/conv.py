@@ -21,9 +21,26 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = ["WNConv", "WNConvTranspose1d", "avg_pool1d"]
+
+
+def _init_std(scheme: str, init_scale: float, fan_in: int) -> float:
+    """Weight std for the ``v`` parameter.
+
+    'dcgan': fixed N(0, init_scale) — the MelGAN-family recipe. Gives an
+    end-to-end generator gain of ~1e-5 at default widths (measured), i.e. a
+    near-silent start (docs/DESIGN.md §8).
+    'he': N(0, sqrt(2/fan_in)) — per-layer gain ~1, so the generator starts
+    at healthy output amplitude and both the adversarial and spectral losses
+    see informative gradients from step 0.
+    """
+    if scheme == "he":
+        return float((2.0 / max(fan_in, 1)) ** 0.5)
+    assert scheme == "dcgan", scheme
+    return init_scale
 
 
 def _normalize(v: jax.Array, g: jax.Array) -> jax.Array:
@@ -50,6 +67,7 @@ class WNConv(nn.Module):
     use_weight_norm: bool = True
     use_bias: bool = True
     init_scale: float = 0.02
+    init_scheme: str = "dcgan"  # see _init_std
     # Mixed precision: params/weight-norm stay float32; inputs and kernels
     # are cast to this dtype for the conv (bf16 hits the MXU's native path)
     # and activations flow onward in this dtype.
@@ -64,8 +82,10 @@ class WNConv(nn.Module):
         assert cin % self.groups == 0, (cin, self.groups)
         kshape = (*self.kernel_size, cin // self.groups, self.features)
 
+        fan_in = (cin // self.groups) * int(np.prod(self.kernel_size))
+        std = _init_std(self.init_scheme, self.init_scale, fan_in)
         v = self.param(
-            "v", nn.initializers.normal(self.init_scale), kshape, jnp.float32
+            "v", nn.initializers.normal(std), kshape, jnp.float32
         )
         if self.use_weight_norm:
             g = self.param(
@@ -134,14 +154,19 @@ class WNConvTranspose1d(nn.Module):
     use_weight_norm: bool = True
     use_bias: bool = True
     init_scale: float = 0.02
+    init_scheme: str = "dcgan"  # see _init_std
     compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cin = x.shape[-1]
         kshape = (self.kernel_size, cin, self.features)
+        # Each output sample sees kernel/stride real (non-zero-stuffed)
+        # inputs, so that is the effective fan-in of a transposed conv.
+        fan_in = cin * max(self.kernel_size // self.stride, 1)
+        std = _init_std(self.init_scheme, self.init_scale, fan_in)
         v = self.param(
-            "v", nn.initializers.normal(self.init_scale), kshape, jnp.float32
+            "v", nn.initializers.normal(std), kshape, jnp.float32
         )
         if self.use_weight_norm:
             g = self.param(

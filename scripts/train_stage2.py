@@ -50,6 +50,10 @@ def main() -> None:
                     help="global-norm gradient clip (0 = off)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="generator EMA decay (0 = off); audio dumps use EMA")
+    ap.add_argument("--init-scheme", choices=["dcgan", "he"], default="dcgan",
+                    help="generator weight init: dcgan = N(0,0.02) "
+                         "(MelGAN-faithful, near-silent start), he = "
+                         "fan-in-scaled (healthy amplitude from step 0)")
     ap.add_argument("--g-warmup", type=int, default=0,
                     help="train G on STFT loss alone (D frozen) for the "
                          "first N steps before starting the adversarial game")
@@ -101,6 +105,8 @@ def main() -> None:
         )
     if args.bf16_gen:
         vocoder = dataclasses.replace(vocoder, compute_dtype="bfloat16")
+    if args.init_scheme != "dcgan":
+        vocoder = dataclasses.replace(vocoder, init_scheme=args.init_scheme)
     msd, mrd = base.msd, base.mrd
     if args.bf16_disc:
         msd = dataclasses.replace(msd, compute_dtype="bfloat16")
