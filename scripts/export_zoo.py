@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--head", choices=["waveform", "istft"], default="waveform")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="must match training (controls checkpoint structure)")
+    ap.add_argument("--init-scheme", choices=["dcgan", "he"], default="dcgan",
+                    help="recorded in the model card (stage 2 provenance)")
     ap.add_argument("--step", type=int, default=None)
     ap.add_argument("--notes", default="")
     ap.add_argument("--root", default=None, help="zoo root (default: repo/zoo)")
@@ -49,6 +51,8 @@ def main() -> None:
             vocoder, head="istft", upsample_factors=(8, 8),
             istft_n_fft=16, istft_hop=4,
         )
+    if args.init_scheme != "dcgan":
+        vocoder = dataclasses.replace(vocoder, init_scheme=args.init_scheme)
     cfg = dataclasses.replace(
         base, vocoder=vocoder,
         train=dataclasses.replace(base.train, ema_decay=args.ema),
