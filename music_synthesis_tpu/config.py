@@ -98,6 +98,17 @@ class VocoderConfig:
     # docs/DESIGN.md §8); "he" = N(0, sqrt(2/fan_in)), per-layer gain ~1 ->
     # healthy output amplitude from step 0.
     init_scheme: str = "dcgan"
+    # Extra init-std multiplier on the OUTPUT conv only. With 'he' the
+    # generator's init output lands in tanh's saturated region (rms ~0.7,
+    # measured: gradients vanish and training pins loud); 0.1 starts it at
+    # moderate amplitude inside the linear region. Ignored semantics-wise
+    # for 'dcgan' (kept at 1.0 there by the presets).
+    out_init_gain: float = 1.0
+    # Init-std multiplier on each residual block's branch-output conv.
+    # Residual addition doubles activation variance per block, which defeats
+    # per-layer-normalized init in deep stacks; a small value starts blocks
+    # near identity (fixup-style) so the trunk gain stays ~1 under 'he'.
+    res_init_gain: float = 1.0
     # "transpose": ConvTranspose1d(k=2u, stride=u) — the reference family's
     # choice. "repeat": nearest-neighbor repeat + Conv1d(k=2u+1) — same
     # receptive field, different lowering; pick by profile (SURVEY.md §7 #2).

@@ -32,6 +32,7 @@ class ResidualBlock(nn.Module):
     use_weight_norm: bool = True
     compute_dtype: str = "float32"
     init_scheme: str = "dcgan"
+    res_init_gain: float = 1.0  # init-std multiplier on the branch output
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -46,7 +47,8 @@ class ResidualBlock(nn.Module):
         y = WNConv(
             self.channels, (1,), use_weight_norm=self.use_weight_norm,
             compute_dtype=self.compute_dtype,
-            init_scheme=self.init_scheme, name="pointwise",
+            init_scheme=self.init_scheme,
+            init_gain=self.res_init_gain, name="pointwise",
         )(y)
         shortcut = WNConv(
             self.channels, (1,), use_weight_norm=self.use_weight_norm,
@@ -66,6 +68,7 @@ class ResidualStack(nn.Module):
     use_weight_norm: bool = True
     compute_dtype: str = "float32"
     init_scheme: str = "dcgan"
+    res_init_gain: float = 1.0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -73,7 +76,7 @@ class ResidualStack(nn.Module):
             x = ResidualBlock(
                 self.channels, d, self.kernel, self.leaky_slope,
                 self.use_weight_norm, self.compute_dtype,
-                self.init_scheme, name=f"block_d{d}",
+                self.init_scheme, self.res_init_gain, name=f"block_d{d}",
             )(x)
         return x
 
@@ -116,7 +119,7 @@ class Vocoder(nn.Module):
             x = ResidualStack(
                 channels, cfg.res_dilations, cfg.res_kernel,
                 cfg.leaky_slope, cfg.use_weight_norm, cfg.compute_dtype,
-                cfg.init_scheme, name=f"res_{i}",
+                cfg.init_scheme, cfg.res_init_gain, name=f"res_{i}",
             )(x)
         x = nn.leaky_relu(x, cfg.leaky_slope)
         if cfg.head == "istft":
@@ -131,7 +134,8 @@ class Vocoder(nn.Module):
                 2 * n_bins, (cfg.output_kernel,), padding="reflect",
                 use_weight_norm=cfg.use_weight_norm,
                 compute_dtype=cfg.compute_dtype,
-                init_scheme=cfg.init_scheme, name="conv_out",
+                init_scheme=cfg.init_scheme,
+                init_gain=cfg.out_init_gain, name="conv_out",
             )(x).astype(jnp.float32)
             log_mag, phase = spec[..., :n_bins], spec[..., n_bins:]
             # Soft-bounded magnitude: exp saturating at e^2 per bin keeps the
@@ -149,6 +153,7 @@ class Vocoder(nn.Module):
             1, (cfg.output_kernel,), padding="reflect",
             use_weight_norm=cfg.use_weight_norm,
             compute_dtype=cfg.compute_dtype,
-            init_scheme=cfg.init_scheme, name="conv_out",
+            init_scheme=cfg.init_scheme,
+            init_gain=cfg.out_init_gain, name="conv_out",
         )(x)
         return jnp.tanh(x.astype(jnp.float32))[..., 0]

@@ -27,7 +27,9 @@ from jax import lax
 __all__ = ["WNConv", "WNConvTranspose1d", "avg_pool1d"]
 
 
-def _init_std(scheme: str, init_scale: float, fan_in: int) -> float:
+def _init_std(
+    scheme: str, init_scale: float, fan_in: int, gain: float = 1.0
+) -> float:
     """Weight std for the ``v`` parameter.
 
     'dcgan': fixed N(0, init_scale) — the MelGAN-family recipe. Gives an
@@ -38,9 +40,9 @@ def _init_std(scheme: str, init_scale: float, fan_in: int) -> float:
     see informative gradients from step 0.
     """
     if scheme == "he":
-        return float((2.0 / max(fan_in, 1)) ** 0.5)
+        return float(gain * (2.0 / max(fan_in, 1)) ** 0.5)
     assert scheme == "dcgan", scheme
-    return init_scale
+    return gain * init_scale
 
 
 def _normalize(v: jax.Array, g: jax.Array) -> jax.Array:
@@ -68,6 +70,7 @@ class WNConv(nn.Module):
     use_bias: bool = True
     init_scale: float = 0.02
     init_scheme: str = "dcgan"  # see _init_std
+    init_gain: float = 1.0  # extra multiplier on the init std (any scheme)
     # Mixed precision: params/weight-norm stay float32; inputs and kernels
     # are cast to this dtype for the conv (bf16 hits the MXU's native path)
     # and activations flow onward in this dtype.
@@ -83,7 +86,9 @@ class WNConv(nn.Module):
         kshape = (*self.kernel_size, cin // self.groups, self.features)
 
         fan_in = (cin // self.groups) * int(np.prod(self.kernel_size))
-        std = _init_std(self.init_scheme, self.init_scale, fan_in)
+        std = _init_std(
+            self.init_scheme, self.init_scale, fan_in, self.init_gain
+        )
         v = self.param(
             "v", nn.initializers.normal(std), kshape, jnp.float32
         )
@@ -155,6 +160,7 @@ class WNConvTranspose1d(nn.Module):
     use_bias: bool = True
     init_scale: float = 0.02
     init_scheme: str = "dcgan"  # see _init_std
+    init_gain: float = 1.0  # extra multiplier on the init std (any scheme)
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -164,7 +170,9 @@ class WNConvTranspose1d(nn.Module):
         # Each output sample sees kernel/stride real (non-zero-stuffed)
         # inputs, so that is the effective fan-in of a transposed conv.
         fan_in = cin * max(self.kernel_size // self.stride, 1)
-        std = _init_std(self.init_scheme, self.init_scale, fan_in)
+        std = _init_std(
+            self.init_scheme, self.init_scale, fan_in, self.init_gain
+        )
         v = self.param(
             "v", nn.initializers.normal(std), kshape, jnp.float32
         )

@@ -50,6 +50,10 @@ def main() -> None:
                     help="global-norm gradient clip (0 = off)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="generator EMA decay (0 = off); audio dumps use EMA")
+    ap.add_argument("--lambda-stft", type=float, default=None,
+                    help="override TrainConfig.lambda_stft (default 2.5; "
+                         "HiFi-GAN-class recipes weight reconstruction "
+                         "much higher than adversarial)")
     ap.add_argument("--init-scheme", choices=["dcgan", "he"], default="dcgan",
                     help="generator weight init: dcgan = N(0,0.02) "
                          "(MelGAN-faithful, near-silent start), he = "
@@ -106,7 +110,13 @@ def main() -> None:
     if args.bf16_gen:
         vocoder = dataclasses.replace(vocoder, compute_dtype="bfloat16")
     if args.init_scheme != "dcgan":
-        vocoder = dataclasses.replace(vocoder, init_scheme=args.init_scheme)
+        # Calibrated so the default-preset generator starts at output rms
+        # ~0.1 (tanh linear region; real-corpus segments are ~0.14): he
+        # trunk, near-identity residual branches, moderated output conv.
+        vocoder = dataclasses.replace(
+            vocoder, init_scheme=args.init_scheme,
+            res_init_gain=0.1, out_init_gain=0.003,
+        )
     msd, mrd = base.msd, base.mrd
     if args.bf16_disc:
         msd = dataclasses.replace(msd, compute_dtype="bfloat16")
@@ -125,6 +135,8 @@ def main() -> None:
             ema_decay=args.ema,
             reuse_real_features=args.reuse_real_feats,
             g_warmup_steps=args.g_warmup,
+            **({"lambda_stft": args.lambda_stft}
+               if args.lambda_stft is not None else {}),
         ),
     )
     # Fail fast on configs that would surface as opaque XLA errors later.
