@@ -205,6 +205,11 @@ class TrainConfig:
     # under the updated D. Saves one full discriminator forward per step;
     # the FM target features differ by one optimizer step of D drift.
     reuse_real_features: bool = False
+    # Adversarial objective: "hinge" (MelGAN-family default) or "nonsat"
+    # (StyleGAN-style logistic — no flat regions, so neither player's
+    # gradient can vanish entirely; fixes the measured stage-1 total freeze,
+    # losses/gan.py nonsat_d_loss docstring).
+    gan_loss: str = "hinge"
     lambda_feature_matching: float = 10.0
     lambda_stft: float = 2.5
     # ParallelWaveGAN-style generator warmup (stage 2 only): for the first N

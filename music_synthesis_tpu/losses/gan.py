@@ -14,6 +14,10 @@ import jax.numpy as jnp
 __all__ = [
     "hinge_d_loss",
     "hinge_g_loss",
+    "nonsat_d_loss",
+    "nonsat_g_loss",
+    "d_loss_fn",
+    "g_loss_fn",
     "feature_matching_loss",
 ]
 
@@ -40,6 +44,45 @@ def hinge_g_loss(fake_logits) -> jax.Array:
     for f in fake_logits:
         loss = loss - jnp.mean(f)
     return loss
+
+
+def nonsat_d_loss(real_logits, fake_logits) -> jax.Array:
+    """Non-saturating logistic D loss (StyleGAN family), summed over heads:
+    ``mean(softplus(-D(x))) + mean(softplus(D(G(z))))``.
+
+    Unlike hinge, softplus has no flat region — D keeps a nonzero gradient
+    even when it classifies every sample with margin. Measured motivation:
+    a 50k-step stage-1 hinge run froze COMPLETELY at ~2.4k steps (both
+    update norms exactly 0 — D satisfied every margin while G's saturated
+    tanh zeroed its own gradients; runs/stage1_frozen_aborted)."""
+    if not isinstance(real_logits, (list, tuple)):
+        real_logits, fake_logits = [real_logits], [fake_logits]
+    loss = 0.0
+    for r, f in zip(real_logits, fake_logits):
+        loss = loss + jnp.mean(jax.nn.softplus(-r)) + jnp.mean(
+            jax.nn.softplus(f)
+        )
+    return loss
+
+
+def nonsat_g_loss(fake_logits) -> jax.Array:
+    """Non-saturating logistic G loss: ``mean(softplus(-D(G(z))))``."""
+    if not isinstance(fake_logits, (list, tuple)):
+        fake_logits = [fake_logits]
+    loss = 0.0
+    for f in fake_logits:
+        loss = loss + jnp.mean(jax.nn.softplus(-f))
+    return loss
+
+
+def d_loss_fn(kind: str):
+    """'hinge' (MelGAN-family default) or 'nonsat' (logistic, no flat
+    regions)."""
+    return {"hinge": hinge_d_loss, "nonsat": nonsat_d_loss}[kind]
+
+
+def g_loss_fn(kind: str):
+    return {"hinge": hinge_g_loss, "nonsat": nonsat_g_loss}[kind]
 
 
 def feature_matching_loss(real_features, fake_features) -> jax.Array:

@@ -16,6 +16,8 @@ import optax
 from music_synthesis_tpu.config import PipelineConfig
 from music_synthesis_tpu.losses.gan import (
     feature_matching_loss,
+    d_loss_fn as _d_loss_fn,
+    g_loss_fn as _g_loss_fn,
     hinge_d_loss,
     hinge_g_loss,
 )
@@ -127,7 +129,7 @@ def train_step_impl(
             real_logit, real_feats = disc.apply({"params": d_params}, real_mel)
         with jax.named_scope("disc_fake"):
             fake_logit, _ = disc.apply({"params": d_params}, fake_sg)
-        return hinge_d_loss(real_logit, fake_logit), real_feats
+        return _d_loss_fn(t.gan_loss)(real_logit, fake_logit), real_feats
 
     with jax.named_scope("d_step"):
         (d_loss, real_feats_d), d_grads = jax.value_and_grad(
@@ -151,7 +153,7 @@ def train_step_impl(
             with jax.named_scope("disc_real_g"):
                 _, real_feats = disc.apply({"params": d_params}, real_mel)
         with jax.named_scope("losses"):
-            adv = hinge_g_loss(fake_logit)
+            adv = _g_loss_fn(t.gan_loss)(fake_logit)
             fm = feature_matching_loss(real_feats, fake_feats)
         return adv + t.lambda_feature_matching * fm, {"g_adv": adv, "g_fm": fm}
 

@@ -24,6 +24,8 @@ import optax
 from music_synthesis_tpu.config import PipelineConfig
 from music_synthesis_tpu.losses.gan import (
     feature_matching_loss,
+    d_loss_fn as _d_loss_fn,
+    g_loss_fn as _g_loss_fn,
     hinge_d_loss,
     hinge_g_loss,
 )
@@ -121,7 +123,7 @@ def train_step_impl(
             real_logits, real_feats = disc.apply({"params": d_params}, wav)
         with jax.named_scope("disc_fake"):
             fake_logits, _ = disc.apply({"params": d_params}, fake_sg)
-        return hinge_d_loss(real_logits, fake_logits), real_feats
+        return _d_loss_fn(t.gan_loss)(real_logits, fake_logits), real_feats
 
     # Generator-warmup gate: 1.0 once the adversarial game is on. Traced on
     # state.step so both phases share one compiled program.
@@ -167,7 +169,7 @@ def train_step_impl(
             with jax.named_scope("disc_real_g"):
                 _, real_feats = disc.apply({"params": d_params}, wav)
         with jax.named_scope("losses"):
-            adv = hinge_g_loss(fake_logits)
+            adv = _g_loss_fn(t.gan_loss)(fake_logits)
             fm = feature_matching_loss(real_feats, fake_feats)
             stft = multires_stft_loss(fake_g, wav, cfg.stft_loss, axis_name)
             adv_w = adv_on if adv_on is not None else 1.0

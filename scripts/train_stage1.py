@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--preset", choices=["default", "tiny"], default="default",
                     help="'tiny' = small models for smoke runs / CPU")
     ap.add_argument("--grad-clip", type=float, default=0.0)
+    ap.add_argument("--gan-loss", choices=["hinge", "nonsat"], default="hinge",
+                    help="nonsat = logistic loss without flat regions "
+                         "(hinge froze stage-1 completely; see "
+                         "losses/gan.py nonsat_d_loss)")
+    ap.add_argument("--g-lr", type=float, default=None)
+    ap.add_argument("--d-lr", type=float, default=None)
     ap.add_argument("--ema", type=float, default=0.0,
                     help="generator EMA decay (0 = off)")
     ap.add_argument("--reuse-real-feats", action="store_true")
@@ -80,6 +86,9 @@ def main() -> None:
             grad_clip_norm=args.grad_clip,
             ema_decay=args.ema,
             reuse_real_features=args.reuse_real_feats,
+            gan_loss=args.gan_loss,
+            **({"g_lr": args.g_lr} if args.g_lr else {}),
+            **({"d_lr": args.d_lr} if args.d_lr else {}),
         ),
     )
     assert args.batch % max(args.mesh, 1) == 0, (

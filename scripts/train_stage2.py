@@ -50,6 +50,9 @@ def main() -> None:
                     help="global-norm gradient clip (0 = off)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="generator EMA decay (0 = off); audio dumps use EMA")
+    ap.add_argument("--gan-loss", choices=["hinge", "nonsat"], default="hinge",
+                    help="adversarial objective (nonsat = logistic, no flat "
+                         "regions)")
     ap.add_argument("--lambda-stft", type=float, default=None,
                     help="override TrainConfig.lambda_stft (default 2.5; "
                          "HiFi-GAN-class recipes weight reconstruction "
@@ -135,6 +138,7 @@ def main() -> None:
             ema_decay=args.ema,
             reuse_real_features=args.reuse_real_feats,
             g_warmup_steps=args.g_warmup,
+            gan_loss=args.gan_loss,
             **({"lambda_stft": args.lambda_stft}
                if args.lambda_stft is not None else {}),
         ),
