@@ -210,6 +210,13 @@ class TrainConfig:
     # gradient can vanish entirely; fixes the measured stage-1 total freeze,
     # losses/gan.py nonsat_d_loss docstring).
     gan_loss: str = "hinge"
+    # Instance noise: stddev of Gaussian noise added to BOTH real and fake
+    # discriminator inputs (stage 1; normalized-mel units). Classic GAN
+    # stabilizer: D can never separate the distributions perfectly, so its
+    # loss keeps a floor and its gradients stay informative — prevents the
+    # measured D-perfect-separation -> G-saturation freeze cascade
+    # (runs/stage1_frozen_aborted). 0 = off.
+    d_input_noise: float = 0.0
     lambda_feature_matching: float = 10.0
     lambda_stft: float = 2.5
     # ParallelWaveGAN-style generator warmup (stage 2 only): for the first N

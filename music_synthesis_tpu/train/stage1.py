@@ -124,11 +124,24 @@ def train_step_impl(
         fake = gen.apply({"params": state.g_params}, z)
     fake_sg = jax.lax.stop_gradient(fake)
 
+    # Instance noise (see TrainConfig.d_input_noise). Fresh draws per step;
+    # per-device decorrelation comes from rng already being decorrelated.
+    d_real_in, d_fake_in, d_fake_g_in = real_mel, fake_sg, None
+    if t.d_input_noise > 0:
+        rng, nk = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(nk, 3)
+        s_ = t.d_input_noise
+        d_real_in = real_mel + s_ * jax.random.normal(
+            k1, real_mel.shape, real_mel.dtype)
+        d_fake_in = fake_sg + s_ * jax.random.normal(
+            k2, fake_sg.shape, fake_sg.dtype)
+        d_fake_g_in = s_ * jax.random.normal(k3, fake_sg.shape, fake_sg.dtype)
+
     def d_loss_fn(d_params):
         with jax.named_scope("disc_real"):
-            real_logit, real_feats = disc.apply({"params": d_params}, real_mel)
+            real_logit, real_feats = disc.apply({"params": d_params}, d_real_in)
         with jax.named_scope("disc_fake"):
-            fake_logit, _ = disc.apply({"params": d_params}, fake_sg)
+            fake_logit, _ = disc.apply({"params": d_params}, d_fake_in)
         return _d_loss_fn(t.gan_loss)(real_logit, fake_logit), real_feats
 
     with jax.named_scope("d_step"):
@@ -145,13 +158,17 @@ def train_step_impl(
     def g_loss_fn(g_params):
         with jax.named_scope("generator_fwd_g"):
             fake_g = gen.apply({"params": g_params}, z)
+        if d_fake_g_in is not None:
+            fake_g_in = fake_g + d_fake_g_in  # same noise realization; grads flow
+        else:
+            fake_g_in = fake_g
         with jax.named_scope("disc_fake_g"):
-            fake_logit, fake_feats = disc.apply({"params": d_params}, fake_g)
+            fake_logit, fake_feats = disc.apply({"params": d_params}, fake_g_in)
         if t.reuse_real_features:
             real_feats = real_feats_d
         else:
             with jax.named_scope("disc_real_g"):
-                _, real_feats = disc.apply({"params": d_params}, real_mel)
+                _, real_feats = disc.apply({"params": d_params}, d_real_in)
         with jax.named_scope("losses"):
             adv = _g_loss_fn(t.gan_loss)(fake_logit)
             fm = feature_matching_loss(real_feats, fake_feats)

@@ -39,6 +39,8 @@ def main() -> None:
                          "losses/gan.py nonsat_d_loss)")
     ap.add_argument("--g-lr", type=float, default=None)
     ap.add_argument("--d-lr", type=float, default=None)
+    ap.add_argument("--d-noise", type=float, default=0.0,
+                    help="instance-noise stddev on D inputs (stabilizer)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="generator EMA decay (0 = off)")
     ap.add_argument("--reuse-real-feats", action="store_true")
@@ -87,6 +89,7 @@ def main() -> None:
             ema_decay=args.ema,
             reuse_real_features=args.reuse_real_feats,
             gan_loss=args.gan_loss,
+            d_input_noise=args.d_noise,
             **({"g_lr": args.g_lr} if args.g_lr else {}),
             **({"d_lr": args.d_lr} if args.d_lr else {}),
         ),
