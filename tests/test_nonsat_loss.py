@@ -59,3 +59,31 @@ def test_stage1_nonsat_trains():
     assert np.isfinite(m["d_loss"]) and np.isfinite(m["g_adv"])
     # Neither player is frozen.
     assert m["d_update_norm"] > 0 and m["g_update_norm"] > 0
+
+
+def test_stage1_instance_noise_path():
+    """d_input_noise: step runs, is rng-deterministic, and differs from the
+    noiseless step (the noise really reaches D's inputs)."""
+    base = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, gan_loss="nonsat")
+    )
+    noisy = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, d_input_noise=0.2)
+    )
+    mel = jnp.clip(
+        0.5 * jax.random.normal(
+            jax.random.fold_in(KEY, 3),
+            (base.train.batch_size, base.specgan.n_frames, base.specgan.n_mels),
+        ), -1, 1,
+    )
+    s_a = stage1.make_train_state(noisy, KEY)
+    s_b = stage1.make_train_state(noisy, KEY)
+    s_a, m_a = stage1.train_step(noisy, s_a, mel)
+    s_b, m_b = stage1.train_step(noisy, s_b, mel)
+    # Deterministic: same state + same batch -> identical metrics.
+    assert float(m_a["d_loss"]) == float(m_b["d_loss"])
+    s_c = stage1.make_train_state(base, KEY)
+    s_c, m_c = stage1.train_step(base, s_c, mel)
+    # The noise changes the D objective value.
+    assert float(m_a["d_loss"]) != float(m_c["d_loss"])
+    assert np.isfinite(m_a["d_loss"])
