@@ -74,6 +74,13 @@ class SpecGANConfig:
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for MXU-native mixed precision
+    # Anti-saturation knobs (docs/DESIGN.md §10). out_init_gain moderates the
+    # output conv's init std; out_temperature returns tanh(T*x) so the
+    # linear region covers pre-activations up to ~1/T (T<1 delays the
+    # measured saturation-freeze cascade). Defaults preserve the faithful
+    # recipe.
+    out_init_gain: float = 1.0
+    out_temperature: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -59,9 +59,10 @@ class SpectrogramGenerator(nn.Module):
         x = WNConv(
             cfg.n_mels, (7,), padding="reflect",
             use_weight_norm=cfg.use_weight_norm,
-            compute_dtype=cfg.compute_dtype, name="conv_out",
+            compute_dtype=cfg.compute_dtype,
+            init_gain=cfg.out_init_gain, name="conv_out",
         )(x)
-        return jnp.tanh(x.astype(jnp.float32))
+        return jnp.tanh(cfg.out_temperature * x.astype(jnp.float32))
 
 
 class SpectrogramDiscriminator(nn.Module):

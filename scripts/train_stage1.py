@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--d-lr", type=float, default=None)
     ap.add_argument("--d-noise", type=float, default=0.0,
                     help="instance-noise stddev on D inputs (stabilizer)")
+    ap.add_argument("--out-temperature", type=float, default=1.0,
+                    help="G output = tanh(T*x); T<1 widens the linear "
+                         "region (anti-saturation, docs/DESIGN.md §10)")
+    ap.add_argument("--out-init-gain", type=float, default=1.0,
+                    help="init-std multiplier on G's output conv")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="generator EMA decay (0 = off)")
     ap.add_argument("--reuse-real-feats", action="store_true")
@@ -79,6 +84,11 @@ def main() -> None:
     specgan = base.specgan
     if args.bf16:
         specgan = dataclasses.replace(specgan, compute_dtype="bfloat16")
+    if args.out_temperature != 1.0 or args.out_init_gain != 1.0:
+        specgan = dataclasses.replace(
+            specgan, out_temperature=args.out_temperature,
+            out_init_gain=args.out_init_gain,
+        )
     cfg = dataclasses.replace(
         base,
         specgan=specgan,
