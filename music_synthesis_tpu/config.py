@@ -195,6 +195,11 @@ class TrainConfig:
     d_lr: float = 1e-4
     adam_b1: float = 0.5
     adam_b2: float = 0.9
+    # Exponential lr decay: lr(t) = lr * lr_decay_rate^(t / lr_decay_every).
+    # 1.0 = constant lr (reference-faithful default). Measured motivation
+    # (ROADMAP perf lead 3): constant-lr fidelity drifts after ~50k steps.
+    lr_decay_rate: float = 1.0
+    lr_decay_every: int = 1000
     # Global-norm gradient clipping (0 = off). GAN steps on small corpora
     # show grad norms in the hundreds; clip stabilizes without changing the
     # reference recipe when off.

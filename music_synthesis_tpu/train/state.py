@@ -35,9 +35,21 @@ class GANState(flax.struct.PyTreeNode):
 def make_optimizer(lr: float, cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam with GAN-friendly betas (0.5, 0.9) — MelGAN-family settings.
 
-    Optional global-norm gradient clipping (cfg.grad_clip_norm > 0).
+    Optional global-norm gradient clipping (cfg.grad_clip_norm > 0) and
+    exponential lr decay (cfg.lr_decay_rate < 1, HiFi-GAN-style): measured
+    motivation is the constant-lr fidelity drift past ~50k steps
+    (docs/DESIGN.md §9 / ROADMAP perf lead 3). The schedule reads the Adam
+    step count, so `--resume` continues the decay where it left off.
     """
-    adam = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    if cfg.lr_decay_rate < 1.0:
+        sched = optax.exponential_decay(
+            init_value=lr,
+            transition_steps=max(cfg.lr_decay_every, 1),
+            decay_rate=cfg.lr_decay_rate,
+        )
+        adam = optax.adam(sched, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    else:
+        adam = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
     if cfg.grad_clip_norm > 0:
         return optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip_norm), adam

@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--gan-loss", choices=["hinge", "nonsat"], default="hinge",
                     help="adversarial objective (nonsat = logistic, no flat "
                          "regions)")
+    ap.add_argument("--lr-decay", type=float, default=1.0,
+                    help="exponential lr decay rate per --lr-decay-every "
+                         "steps (1.0 = constant)")
+    ap.add_argument("--lr-decay-every", type=int, default=1000)
     ap.add_argument("--lambda-stft", type=float, default=None,
                     help="override TrainConfig.lambda_stft (default 2.5; "
                          "HiFi-GAN-class recipes weight reconstruction "
@@ -139,6 +143,8 @@ def main() -> None:
             reuse_real_features=args.reuse_real_feats,
             g_warmup_steps=args.g_warmup,
             gan_loss=args.gan_loss,
+            lr_decay_rate=args.lr_decay,
+            lr_decay_every=args.lr_decay_every,
             **({"lambda_stft": args.lambda_stft}
                if args.lambda_stft is not None else {}),
         ),

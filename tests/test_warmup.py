@@ -110,3 +110,33 @@ def test_warmup_off_is_default_path():
     wav = 0.1 * jnp.cos(jnp.linspace(0, 50, l))[None, :].repeat(b, 0)
     s_a, m_a = stage2.train_step(cfg0, state, wav)
     assert np.isfinite(m_a["d_loss"])
+
+
+def test_lr_decay_schedule():
+    """lr_decay_rate < 1 shrinks later updates; resume-compatible because
+    the schedule reads Adam's step count."""
+    import optax
+
+    from music_synthesis_tpu.train.state import make_optimizer
+
+    cfg = dataclasses.replace(
+        TINY.train, lr_decay_rate=0.5, lr_decay_every=10
+    )
+    tx = make_optimizer(1e-2, cfg)
+    params = {"w": jnp.ones((4,))}
+    opt = tx.init(params)
+    g = {"w": jnp.ones((4,))}
+    u0, opt = tx.update(g, opt, params)
+    for _ in range(19):
+        u, opt = tx.update(g, opt, params)
+    # After 20 steps at decay 0.5 per 10 steps, lr is ~4x smaller.
+    r = float(jnp.abs(u["w"]).mean() / jnp.abs(u0["w"]).mean())
+    assert 0.15 < r < 0.35, r
+    # Default config (rate 1.0) keeps updates constant.
+    tx2 = make_optimizer(1e-2, TINY.train)
+    opt2 = tx2.init(params)
+    v0, opt2 = tx2.update(g, opt2, params)
+    for _ in range(19):
+        v, opt2 = tx2.update(g, opt2, params)
+    rr = float(jnp.abs(v["w"]).mean() / jnp.abs(v0["w"]).mean())
+    assert 0.95 < rr < 1.05, rr
