@@ -81,6 +81,19 @@ class SpecGANConfig:
     # recipe.
     out_init_gain: float = 1.0
     out_temperature: float = 1.0
+    # Weight init for ALL SpecGAN layers (G latent projection, upsample,
+    # residual and output convs, D downsampling convs). "dcgan" = N(0, 0.02)
+    # — measured end-to-end G gain ~1e-5 at default widths, i.e. a
+    # near-silent start whose adversarial sprint into tanh saturation is the
+    # root of the stage-1 freeze cascade (docs/DESIGN.md §10). "he" =
+    # N(0, sqrt(2/fan_in)) per layer — the exact cure that fixed the
+    # vocoder's amplitude pathology: G *starts* at real-mel-like amplitude
+    # so the climb phase never happens. Combine with out_init_gain to place
+    # the init output rms inside tanh's linear region.
+    init_scheme: str = "dcgan"
+    # Init-std multiplier on each residual block's branch-output conv
+    # (fixup-style near-identity start under 'he'; see VocoderConfig).
+    res_init_gain: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,6 +242,20 @@ class TrainConfig:
     # measured D-perfect-separation -> G-saturation freeze cascade
     # (runs/stage1_frozen_aborted). 0 = off.
     d_input_noise: float = 0.0
+    # Linear decay horizon for the instance noise: sigma(step) =
+    # d_input_noise * max(0, 1 - step / d_noise_decay_steps). 0 = constant
+    # noise. The schedule is traced on state.step (jnp), so both phases
+    # share one compiled program. Standard instance-noise practice: the
+    # stabilizer is only needed early, and a constant sigma biases the
+    # equilibrium (D models the noised distribution forever).
+    d_noise_decay_steps: int = 0
+    # R1 gradient penalty on the discriminator (StyleGAN-family):
+    # + r1_gamma/2 * E[||grad_x D(x)||^2] on REAL inputs every D step.
+    # Bounds D's input-gradient norm, so D cannot sharpen into the
+    # infinite-slope decision boundary that drives G's tanh-saturation
+    # sprint (docs/DESIGN.md §10). 0 = off. Applied to the same (possibly
+    # noised) real batch D classifies.
+    r1_gamma: float = 0.0
     lambda_feature_matching: float = 10.0
     lambda_stft: float = 2.5
     # ParallelWaveGAN-style generator warmup (stage 2 only): for the first N
@@ -308,6 +335,76 @@ E2E_INFERENCE_FAST = PipelineConfig(
 DP_V5E8_TRAIN = PipelineConfig(
     train=TrainConfig(batch_size=64, mesh_shape=(8,), mesh_axes=("data",))
 )
+
+# ---------------------------------------------------------------------------
+# Config (de)serialization — exact provenance for runs and zoo entries.
+#
+# Training scripts write the FULL resolved PipelineConfig to
+# <run>/config.json; export/eval/generate tools rebuild the identical config
+# (including optimizer-state-shaping fields like lr_decay_rate/grad_clip_norm,
+# which change the orbax checkpoint pytree) instead of re-deriving it from CLI
+# flags. Fixes the round-2 advisor findings on scripts/export_zoo.py.
+# ---------------------------------------------------------------------------
+
+_SUBCONFIG_TYPES = {
+    "frontend": FrontendConfig,
+    "mel_scaler": MelScaler,
+    "specgan": SpecGANConfig,
+    "vocoder": VocoderConfig,
+    "msd": MSDConfig,
+    "mrd": MRDConfig,
+    "stft_loss": STFTLossConfig,
+    "train": TrainConfig,
+    "infer": InferConfig,
+}
+
+
+def config_to_dict(cfg: PipelineConfig) -> dict:
+    """PipelineConfig -> JSON-safe nested dict (tuples become lists)."""
+
+    def conv(obj):
+        if dataclasses.is_dataclass(obj):
+            return {
+                f.name: conv(getattr(obj, f.name))
+                for f in dataclasses.fields(obj)
+            }
+        if isinstance(obj, (tuple, list)):
+            return [conv(x) for x in obj]
+        return obj
+
+    return conv(cfg)
+
+
+def config_from_dict(d: dict) -> PipelineConfig:
+    """Inverse of :func:`config_to_dict`.
+
+    Rejects unknown fields (a config written by a newer framework version
+    must not be silently truncated into an older one).
+    """
+
+    def build(cls, sub: dict):
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(sub) - known
+        if unknown:
+            raise ValueError(
+                f"config dict has fields {sorted(unknown)} not in "
+                f"{cls.__name__} — written by a newer framework version?"
+            )
+
+        def tup(v):
+            return tuple(tup(x) for x in v) if isinstance(v, list) else v
+
+        return cls(**{k: tup(v) for k, v in sub.items()})
+
+    parts = {}
+    for name, cls in _SUBCONFIG_TYPES.items():
+        if name in d:
+            parts[name] = build(cls, d[name])
+    extra = set(d) - set(_SUBCONFIG_TYPES)
+    if extra:
+        raise ValueError(f"unknown PipelineConfig sections: {sorted(extra)}")
+    return PipelineConfig(**parts)
+
 
 #: Tiny preset for unit tests and the multichip dry-run (fast on 1 CPU core).
 TINY = PipelineConfig(

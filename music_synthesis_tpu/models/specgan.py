@@ -38,7 +38,18 @@ class SpectrogramGenerator(nn.Module):
         assert cfg.initial_frames * up_total == cfg.n_frames, (
             "initial_frames * prod(upsample_factors) must equal n_frames"
         )
-        x = nn.Dense(cfg.initial_frames * cfg.base_channels, name="latent_in")(z)
+        # Latent projection follows the conv init scheme: 'he' =
+        # variance_scaling(2, fan_in) so the trunk starts at gain ~1 (the
+        # stage-1 saturation cure, docs/DESIGN.md §10); 'dcgan' = N(0, 0.02).
+        latent_init = (
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+            if cfg.init_scheme == "he"
+            else nn.initializers.normal(0.02)
+        )
+        x = nn.Dense(
+            cfg.initial_frames * cfg.base_channels,
+            kernel_init=latent_init, name="latent_in",
+        )(z)
         x = x.reshape(z.shape[0], cfg.initial_frames, cfg.base_channels)
         channels = cfg.base_channels
         for i, u in enumerate(cfg.upsample_factors):
@@ -47,19 +58,23 @@ class SpectrogramGenerator(nn.Module):
             x = WNConvTranspose1d(
                 channels, kernel_size=2 * u, stride=u,
                 use_weight_norm=cfg.use_weight_norm,
-                compute_dtype=cfg.compute_dtype, name=f"upsample_{i}",
+                compute_dtype=cfg.compute_dtype,
+                init_scheme=cfg.init_scheme, name=f"upsample_{i}",
             )(x)
             x = ResidualStack(
                 channels, cfg.res_dilations,
                 leaky_slope=cfg.leaky_slope,
                 use_weight_norm=cfg.use_weight_norm,
-                compute_dtype=cfg.compute_dtype, name=f"res_{i}",
+                compute_dtype=cfg.compute_dtype,
+                init_scheme=cfg.init_scheme,
+                res_init_gain=cfg.res_init_gain, name=f"res_{i}",
             )(x)
         x = nn.leaky_relu(x, cfg.leaky_slope)
         x = WNConv(
             cfg.n_mels, (7,), padding="reflect",
             use_weight_norm=cfg.use_weight_norm,
             compute_dtype=cfg.compute_dtype,
+            init_scheme=cfg.init_scheme,
             init_gain=cfg.out_init_gain, name="conv_out",
         )(x)
         return jnp.tanh(cfg.out_temperature * x.astype(jnp.float32))
@@ -79,12 +94,14 @@ class SpectrogramDiscriminator(nn.Module):
             x = WNConv(
                 ch, (cfg.disc_kernel,), strides=(s,), padding="same",
                 use_weight_norm=cfg.use_weight_norm,
-                compute_dtype=cfg.compute_dtype, name=f"down_{i}",
+                compute_dtype=cfg.compute_dtype,
+                init_scheme=cfg.init_scheme, name=f"down_{i}",
             )(x)
             x = nn.leaky_relu(x, cfg.leaky_slope)
             feats.append(x)
         logit = WNConv(
             1, (3,), padding="same", use_weight_norm=cfg.use_weight_norm,
-            compute_dtype=cfg.compute_dtype, name="conv_out",
+            compute_dtype=cfg.compute_dtype,
+            init_scheme=cfg.init_scheme, name="conv_out",
         )(x)
         return logit.astype(jnp.float32), feats

@@ -126,11 +126,15 @@ def train_step_impl(
 
     # Instance noise (see TrainConfig.d_input_noise). Fresh draws per step;
     # per-device decorrelation comes from rng already being decorrelated.
+    # Optional linear decay traced on state.step (one compiled program).
     d_real_in, d_fake_in, d_fake_g_in = real_mel, fake_sg, None
     if t.d_input_noise > 0:
         rng, nk = jax.random.split(rng)
         k1, k2, k3 = jax.random.split(nk, 3)
-        s_ = t.d_input_noise
+        s_ = jnp.asarray(t.d_input_noise, real_mel.dtype)
+        if t.d_noise_decay_steps > 0:
+            frac = state.step.astype(real_mel.dtype) / t.d_noise_decay_steps
+            s_ = s_ * jnp.maximum(0.0, 1.0 - frac)
         d_real_in = real_mel + s_ * jax.random.normal(
             k1, real_mel.shape, real_mel.dtype)
         d_fake_in = fake_sg + s_ * jax.random.normal(
@@ -142,10 +146,30 @@ def train_step_impl(
             real_logit, real_feats = disc.apply({"params": d_params}, d_real_in)
         with jax.named_scope("disc_fake"):
             fake_logit, _ = disc.apply({"params": d_params}, d_fake_in)
-        return _d_loss_fn(t.gan_loss)(real_logit, fake_logit), real_feats
+        loss = _d_loss_fn(t.gan_loss)(real_logit, fake_logit)
+        r1 = jnp.zeros((), jnp.float32)
+        if t.r1_gamma > 0:
+            # R1 gradient penalty (TrainConfig.r1_gamma): penalize
+            # ||grad_x D(x)||^2 on the real batch. Batch elements are
+            # independent, so grad of the summed logits gives per-sample
+            # input gradients in one backward pass; the double backprop
+            # through D is plain JAX higher-order AD inside the same jit.
+            with jax.named_scope("r1_penalty"):
+                def logit_sum(x):
+                    logit, _ = disc.apply({"params": d_params}, x)
+                    return jnp.sum(logit)
+
+                gx = jax.grad(logit_sum)(d_real_in)
+                per_sample = jnp.sum(
+                    jnp.square(gx.astype(jnp.float32)),
+                    axis=tuple(range(1, gx.ndim)),
+                )
+                r1 = 0.5 * t.r1_gamma * jnp.mean(per_sample)
+            loss = loss + r1
+        return loss, (real_feats, r1)
 
     with jax.named_scope("d_step"):
-        (d_loss, real_feats_d), d_grads = jax.value_and_grad(
+        (d_loss, (real_feats_d, r1_val)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(state.d_params)
         d_grads = pmean(d_grads)
@@ -164,11 +188,17 @@ def train_step_impl(
             fake_g_in = fake_g
         with jax.named_scope("disc_fake_g"):
             fake_logit, fake_feats = disc.apply({"params": d_params}, fake_g_in)
-        if t.reuse_real_features:
+        if t.reuse_real_features and t.d_input_noise == 0:
             real_feats = real_feats_d
         else:
+            # Feature-matching target uses CLEAN real features: classic
+            # instance noise perturbs only the classification pathway, and a
+            # noised FM target would add an irreducible noise floor scaled
+            # by lambda_feature_matching (round-2 advisor finding). With
+            # noise on, the reuse path is also bypassed (its cached features
+            # were computed on the noised batch).
             with jax.named_scope("disc_real_g"):
-                _, real_feats = disc.apply({"params": d_params}, d_real_in)
+                _, real_feats = disc.apply({"params": d_params}, real_mel)
         with jax.named_scope("losses"):
             adv = _g_loss_fn(t.gan_loss)(fake_logit)
             fm = feature_matching_loss(real_feats, fake_feats)
@@ -209,6 +239,8 @@ def train_step_impl(
     metrics = pmean(
         {"d_loss": d_loss, "g_loss": g_loss, "g_rms_ratio": rms_ratio, **aux}
     )
+    if t.r1_gamma > 0:
+        metrics["d_r1"] = pmean(r1_val)
     metrics["d_grad_norm"] = d_grad_norm
     metrics["g_grad_norm"] = g_grad_norm
     metrics["d_update_norm"] = d_update_norm

@@ -38,26 +38,44 @@ def main() -> None:
     maybe_force_cpu()
 
     from music_synthesis_tpu import zoo
-    from music_synthesis_tpu.config import MelScaler, TINY, PipelineConfig
+    from music_synthesis_tpu.config import (
+        MelScaler, TINY, PipelineConfig, config_from_dict,
+    )
     from music_synthesis_tpu.train.checkpoint import (
         CheckpointManager, abstract_state,
     )
 
     run = Path(args.run)
-    base = TINY if args.preset == "tiny" else PipelineConfig()
-    vocoder = base.vocoder
-    if args.head == "istft":
-        vocoder = dataclasses.replace(
-            vocoder, head="istft", upsample_factors=(8, 8),
-            istft_n_fft=16, istft_hop=4,
+    cfg_file = run / "config.json"
+    if cfg_file.exists():
+        # Exact provenance: the config the run actually trained with —
+        # includes init gains, out_temperature, lr-decay/grad-clip (which
+        # shape the optimizer-state pytree orbax restores into), the
+        # corpus-derived MelScaler, everything. CLI config flags are ignored.
+        cfg = config_from_dict(json.loads(cfg_file.read_text()))
+        print(f"config from {cfg_file} (CLI --preset/--head/--init-scheme/"
+              f"--ema ignored)")
+    else:
+        # Legacy runs (pre config.json): reconstruct from flags.
+        base = TINY if args.preset == "tiny" else PipelineConfig()
+        vocoder = base.vocoder
+        if args.head == "istft":
+            vocoder = dataclasses.replace(
+                vocoder, head="istft", upsample_factors=(8, 8),
+                istft_n_fft=16, istft_hop=4,
+            )
+        if args.init_scheme != "dcgan":
+            # Mirror train_stage2.py's calibrated overrides so the exported
+            # config reproduces the trained forward pass (round-2 advisor).
+            vocoder = dataclasses.replace(
+                vocoder, init_scheme=args.init_scheme,
+                res_init_gain=0.1, out_init_gain=0.003,
+            )
+        cfg = dataclasses.replace(
+            base, vocoder=vocoder,
+            train=dataclasses.replace(base.train, ema_decay=args.ema),
         )
-    if args.init_scheme != "dcgan":
-        vocoder = dataclasses.replace(vocoder, init_scheme=args.init_scheme)
-    cfg = dataclasses.replace(
-        base, vocoder=vocoder,
-        train=dataclasses.replace(base.train, ema_decay=args.ema),
-    )
-    mel_scaler = None
+    mel_scaler = cfg.mel_scaler if cfg_file.exists() else None
     stats_file = run / "mel_stats.json"
     if stats_file.exists():
         s = json.loads(stats_file.read_text())

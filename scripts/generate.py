@@ -76,24 +76,55 @@ def main() -> None:
 
     from music_synthesis_tpu import zoo
 
+    import json
+
+    from music_synthesis_tpu.config import config_from_dict
+
+    scaler_sources: dict[int, tuple] = {}
+
     def load_generator(src: str, stage: int, ema: float, cfg):
         """src = zoo entry (name or dir) | checkpoint dir. Returns
-        (params, cfg) with cfg's model config overridden by a zoo card."""
+        (params, cfg) with cfg's model config — and, when the source carries
+        them, mel_scaler and frontend — overridden to match training
+        (conditioning must reproduce the training-time normalization;
+        round-2 advisor finding on this script)."""
         p = Path(src)
         is_zoo = (p / "card.json").exists() or (
             not p.exists() and (zoo.ZOO_ROOT / src / "card.json").exists()
         )
+        field = "specgan" if stage == 1 else "vocoder"
         if is_zoo:
             e = zoo.load_pretrained(src)
             want = "specgan" if stage == 1 else "vocoder"
             assert e.kind == want, f"{src} is a {e.kind}, need {want}"
-            field = "specgan" if stage == 1 else "vocoder"
             print(f"stage {stage}: zoo entry {e.name} "
                   f"({e.card['n_params'] / 1e6:.2f}M params; "
                   f"{e.card.get('notes', '')})")
-            return e.params, dataclasses.replace(cfg, **{field: e.config})
-        c = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, ema_decay=ema))
+            cfg = dataclasses.replace(cfg, **{field: e.config})
+            if e.mel_scaler is not None:
+                cfg = dataclasses.replace(cfg, mel_scaler=e.mel_scaler)
+                scaler_sources[stage] = (e.name, e.mel_scaler)
+            if e.frontend is not None:
+                cfg = dataclasses.replace(cfg, frontend=e.frontend)
+            return e.params, cfg
+        # Checkpoint dir: prefer the run's exact config.json (sibling of
+        # ckpt/) — it shapes the optimizer-state pytree orbax restores into
+        # (lr-decay/grad-clip runs have extra optax chain state).
+        run_cfg = None
+        for cand in (p / "config.json", p.parent / "config.json"):
+            if cand.exists():
+                run_cfg = config_from_dict(json.loads(cand.read_text()))
+                break
+        if run_cfg is not None:
+            c = run_cfg
+            cfg = dataclasses.replace(
+                cfg, **{field: getattr(run_cfg, field)},
+                mel_scaler=run_cfg.mel_scaler, frontend=run_cfg.frontend,
+            )
+            scaler_sources[stage] = (str(cand), run_cfg.mel_scaler)
+        else:
+            c = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, ema_decay=ema))
         st = CheckpointManager(src).restore(abstract_state(c, stage=stage))
         params = st.g_ema if st.g_ema is not None else st.g_params
         which = "ema" if st.g_ema is not None else "raw"
@@ -112,6 +143,15 @@ def main() -> None:
         g2 = Vocoder(cfg.vocoder).init(
             jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.vocoder.n_mels))
         )["params"]
+    if len(scaler_sources) == 2:
+        (n1, m1), (n2, m2) = scaler_sources[1], scaler_sources[2]
+        if (m1.shift, m1.scale) != (m2.shift, m2.scale):
+            print(f"WARNING: stage-1 ({n1}: shift={m1.shift:.3f} "
+                  f"scale={m1.scale:.3f}) and stage-2 ({n2}: "
+                  f"shift={m2.shift:.3f} scale={m2.scale:.3f}) were trained "
+                  f"with DIFFERENT mel scalers — the vocoder's conditioning "
+                  f"will be mis-normalized. Retrain or re-export with "
+                  f"matching corpus stats.")
     s1 = types.SimpleNamespace(g_params=g1)
     s2 = types.SimpleNamespace(g_params=g2)
     print("generators ready; compiling fused two-stage program...", flush=True)

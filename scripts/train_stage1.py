@@ -46,6 +46,20 @@ def main() -> None:
                          "region (anti-saturation, docs/DESIGN.md §10)")
     ap.add_argument("--out-init-gain", type=float, default=1.0,
                     help="init-std multiplier on G's output conv")
+    ap.add_argument("--init-scheme", choices=["dcgan", "he"], default="dcgan",
+                    help="weight init for ALL SpecGAN layers; 'he' starts G "
+                         "at real-mel amplitude (the saturation-freeze cure, "
+                         "docs/DESIGN.md §10)")
+    ap.add_argument("--res-init-gain", type=float, default=1.0,
+                    help="init-std multiplier on residual branch outputs "
+                         "(0.1 with --init-scheme he: near-identity blocks)")
+    ap.add_argument("--r1-gamma", type=float, default=0.0,
+                    help="R1 gradient penalty weight on D(real) (0 = off)")
+    ap.add_argument("--noise-decay-steps", type=int, default=0,
+                    help="linear decay horizon for --d-noise (0 = constant)")
+    ap.add_argument("--lr-decay", type=float, default=1.0,
+                    help="exponential lr decay rate per --lr-decay-every")
+    ap.add_argument("--lr-decay-every", type=int, default=1000)
     ap.add_argument("--ema", type=float, default=0.0,
                     help="generator EMA decay (0 = off)")
     ap.add_argument("--reuse-real-feats", action="store_true")
@@ -89,6 +103,11 @@ def main() -> None:
             specgan, out_temperature=args.out_temperature,
             out_init_gain=args.out_init_gain,
         )
+    if args.init_scheme != "dcgan" or args.res_init_gain != 1.0:
+        specgan = dataclasses.replace(
+            specgan, init_scheme=args.init_scheme,
+            res_init_gain=args.res_init_gain,
+        )
     cfg = dataclasses.replace(
         base,
         specgan=specgan,
@@ -100,6 +119,10 @@ def main() -> None:
             reuse_real_features=args.reuse_real_feats,
             gan_loss=args.gan_loss,
             d_input_noise=args.d_noise,
+            d_noise_decay_steps=args.noise_decay_steps,
+            r1_gamma=args.r1_gamma,
+            lr_decay_rate=args.lr_decay,
+            lr_decay_every=args.lr_decay_every,
             **({"g_lr": args.g_lr} if args.g_lr else {}),
             **({"d_lr": args.d_lr} if args.d_lr else {}),
         ),
@@ -138,6 +161,13 @@ def main() -> None:
             {"shift": scaler.shift, "scale": scaler.scale}))
         print(f"mel stats from corpus: shift={scaler.shift:.3f} "
               f"scale={scaler.scale:.3f}")
+
+    # Exact provenance: the FULL resolved config (incl. optimizer-shaping
+    # fields), so export/eval tools rebuild the identical state pytree.
+    from music_synthesis_tpu.config import config_to_dict
+
+    (outdir / "config.json").write_text(
+        json.dumps(config_to_dict(cfg), indent=1))
 
     # Real patches: front-end + normalization, jitted once.
     @jax.jit

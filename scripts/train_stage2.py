@@ -191,6 +191,13 @@ def main() -> None:
         print(f"mel stats from corpus: shift={scaler.shift:.3f} "
               f"scale={scaler.scale:.3f}")
 
+    # Exact provenance: the FULL resolved config (incl. optimizer-shaping
+    # fields), so export/eval tools rebuild the identical state pytree.
+    from music_synthesis_tpu.config import config_to_dict
+
+    (outdir / "config.json").write_text(
+        json.dumps(config_to_dict(cfg), indent=1))
+
     state = stage2.make_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
     ckpt = CheckpointManager(outdir / "ckpt")
     start_step = 0
