@@ -75,7 +75,12 @@ def bench_stage2_step(results: dict) -> None:
         b = cfg.train.batch_size
         seg = cfg.train.segment_length
 
-        @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+        # No donate_argnums: the scan returns only a scalar checksum (not
+        # the carried state), so donated param/opt buffers could never be
+        # reused for outputs — donation here only produced the driver-
+        # visible "donated buffers were not usable" warning (round-2 weak
+        # item 6) without saving memory.
+        @functools.partial(jax.jit, static_argnums=0)
         def many(n: int, state, loop_key, _cfg=cfg, _b=b, _seg=seg):
             def body(st, i):
                 wav = 0.5 * jnp.tanh(jax.random.normal(
@@ -244,13 +249,16 @@ def main() -> None:
         which = sys.argv[sys.argv.index("--metric") + 1]
     if which == "stage2_step":
         # vs_baseline: ratio of the 50 ms round-2 target to the measured
-        # fast-recipe step (>1 = beating the target).
+        # fast-recipe step (>1 = beating the target). The 50 ms bar is
+        # SELF-SET (no reference GPU number exists — BASELINE.md), so the
+        # JSON names its baseline explicitly.
         ms = results["stage2_gan_step_fast_ms"]
         print(json.dumps({
             "metric": "stage2_gan_step_ms",
             "value": ms,
             "unit": "ms_per_step_b16x8192",
             "vs_baseline": round(50.0 / ms, 3),
+            "baseline": "self-target-50ms (no reference number available)",
         }))
     else:
         print(json.dumps({
@@ -258,6 +266,7 @@ def main() -> None:
             "value": round(rtf, 1),
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(rtf / 500.0, 3),
+            "baseline": "driver-target-500x (BASELINE.json:5)",
         }))
 
 

@@ -168,6 +168,12 @@ class MSDConfig:
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
     compute_dtype: str = "float32"
+    # Run grouped downsampling convs with groups <= this threshold as ONE
+    # dense conv over a block-diagonal kernel (ops/conv.py dense_groups).
+    # Bit-identical math; trades G x FLOPs for dense MXU tiling. Measured
+    # (runs/trace_stage2): the grouped convs are 39% of the stage-2 step at
+    # 4 channels/group. 0 = always grouped (reference-shaped lowering).
+    dense_groups_max_g: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -230,6 +236,12 @@ class TrainConfig:
     # under the updated D. Saves one full discriminator forward per step;
     # the FM target features differ by one optimizer step of D drift.
     reuse_real_features: bool = False
+    # Run the D step's real and fake passes as ONE forward on the
+    # concatenated [2B] batch (stage 2). Identical per-sample math (convs
+    # are batch-independent); doubles the GEMM M-dimension and halves the
+    # fusion/dispatch count for every discriminator layer — the
+    # discriminators are 80% of the measured step (runs/trace_stage2).
+    concat_disc_batch: bool = False
     # Adversarial objective: "hinge" (MelGAN-family default) or "nonsat"
     # (StyleGAN-style logistic — no flat regions, so neither player's
     # gradient can vanish entirely; fixes the measured stage-1 total freeze,

@@ -48,8 +48,10 @@ class ScaleDiscriminator(nn.Module):
         for i, (ch, s, grp) in enumerate(
             zip(cfg.channels[1:], cfg.strides, cfg.groups)
         ):
+            g = min(grp, x.shape[-1])
             x = WNConv(
-                ch, (cfg.kernel,), strides=(s,), groups=min(grp, x.shape[-1]),
+                ch, (cfg.kernel,), strides=(s,), groups=g,
+                dense_groups=(1 < g <= cfg.dense_groups_max_g),
                 padding="same", use_weight_norm=cfg.use_weight_norm,
                 compute_dtype=cfg.compute_dtype, name=f"down_{i}",
             )(x)

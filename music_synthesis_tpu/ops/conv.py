@@ -65,6 +65,15 @@ class WNConv(nn.Module):
     strides: Sequence[int] | None = None
     dilations: Sequence[int] | None = None
     groups: int = 1
+    # Run a grouped conv as ONE dense conv with a block-diagonal kernel.
+    # Bit-identical math (off-block weights are constant zeros; gradients
+    # flow only to the real blocks), but the MXU sees a single dense
+    # [Cin, Cout] contraction instead of G fragmented Cin/G-channel convs.
+    # Measured motivation (runs/trace_stage2): XLA lowers the MSD's grouped
+    # kernel-41 convs to 4-channel units that leave 97% of the MXU lanes
+    # idle — 39% of the whole stage-2 GAN step. Trades G x more FLOPs for
+    # dense tiling; profitable for small/medium G (see MSDConfig).
+    dense_groups: bool = False
     padding: str | Sequence[tuple[int, int]] = "same"
     use_weight_norm: bool = True
     use_bias: bool = True
@@ -125,6 +134,18 @@ class WNConv(nn.Module):
             x.shape, kernel.shape,
             (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"),
         )
+        groups = self.groups
+        if groups > 1 and self.dense_groups:
+            # Block-diagonal dense kernel: dense[*K, h*Ci_g+c, g*Co_g+o] =
+            # kernel[*K, c, g*Co_g+o] iff h == g, else 0.
+            ci_g = cin // groups
+            co_g = self.features // groups
+            kr = kernel.reshape(*self.kernel_size, ci_g, groups, co_g)
+            eye = jnp.eye(groups, dtype=kernel.dtype)
+            kernel = jnp.einsum("...cgo,hg->...hcgo", kr, eye).reshape(
+                *self.kernel_size, cin, self.features
+            )
+            groups = 1
         # Activations flow in compute_dtype between layers; the MXU still
         # accumulates bf16 products in f32 internally. (Requesting
         # preferred_element_type=f32 here would make the AD cotangent f32
@@ -135,7 +156,7 @@ class WNConv(nn.Module):
             padding="VALID",
             rhs_dilation=dilations,
             dimension_numbers=dn,
-            feature_group_count=self.groups,
+            feature_group_count=groups,
         )
         if self.use_bias:
             b = self.param(

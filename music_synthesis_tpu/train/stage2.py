@@ -119,10 +119,23 @@ def train_step_impl(
 
     # --- D step (on detached fake) ---
     def d_loss_fn(d_params):
-        with jax.named_scope("disc_real"):
-            real_logits, real_feats = disc.apply({"params": d_params}, wav)
-        with jax.named_scope("disc_fake"):
-            fake_logits, _ = disc.apply({"params": d_params}, fake_sg)
+        if t.concat_disc_batch:
+            # One D forward on [real; fake] (TrainConfig.concat_disc_batch):
+            # per-sample math is unchanged, the MXU sees 2B-row GEMMs.
+            b = wav.shape[0]
+            with jax.named_scope("disc_both"):
+                logits, feats = disc.apply(
+                    {"params": d_params},
+                    jnp.concatenate([wav, fake_sg], axis=0),
+                )
+            real_logits = [l[:b] for l in logits]
+            fake_logits = [l[b:] for l in logits]
+            real_feats = [[f[:b] for f in head] for head in feats]
+        else:
+            with jax.named_scope("disc_real"):
+                real_logits, real_feats = disc.apply({"params": d_params}, wav)
+            with jax.named_scope("disc_fake"):
+                fake_logits, _ = disc.apply({"params": d_params}, fake_sg)
         return _d_loss_fn(t.gan_loss)(real_logits, fake_logits), real_feats
 
     # Generator-warmup gate: 1.0 once the adversarial game is on. Traced on

@@ -71,6 +71,12 @@ def main() -> None:
     ap.add_argument("--reuse-real-feats", action="store_true",
                     help="reuse D(real) taps from the D step for the G step's "
                          "feature-matching target (saves one D forward)")
+    ap.add_argument("--concat-disc", action="store_true",
+                    help="one D forward on [real; fake] in the D step "
+                         "(identical math, bigger GEMMs)")
+    ap.add_argument("--dense-groups", type=int, default=0,
+                    help="run MSD grouped convs with groups <= N as dense "
+                         "block-diagonal convs (identical math, MXU-dense)")
     ap.add_argument("--bf16-disc", action="store_true",
                     help="bfloat16 compute in both discriminators (MXU-native)")
     ap.add_argument("--bf16-gen", action="store_true",
@@ -128,6 +134,8 @@ def main() -> None:
     if args.bf16_disc:
         msd = dataclasses.replace(msd, compute_dtype="bfloat16")
         mrd = dataclasses.replace(mrd, compute_dtype="bfloat16")
+    if args.dense_groups:
+        msd = dataclasses.replace(msd, dense_groups_max_g=args.dense_groups)
     cfg = dataclasses.replace(
         base,
         vocoder=vocoder,
@@ -141,6 +149,7 @@ def main() -> None:
             grad_clip_norm=args.grad_clip,
             ema_decay=args.ema,
             reuse_real_features=args.reuse_real_feats,
+            concat_disc_batch=args.concat_disc,
             g_warmup_steps=args.g_warmup,
             gan_loss=args.gan_loss,
             lr_decay_rate=args.lr_decay,

@@ -122,6 +122,97 @@ def test_stage1_noise_decay_reaches_zero():
     assert np.isfinite(float(m_late["g_loss"]))
 
 
+def test_dense_groups_matches_grouped_conv():
+    """Block-diagonal dense lowering of a grouped conv is bit-identical
+    math (ops/conv.py dense_groups): same params, same output."""
+    from music_synthesis_tpu.ops.conv import WNConv
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 16))
+    kw = dict(features=32, kernel_size=(11,), strides=(2,), groups=4,
+              padding="same")
+    grouped = WNConv(**kw)
+    dense = WNConv(**kw, dense_groups=True)
+    params = grouped.init(jax.random.PRNGKey(1), x)["params"]
+    y_g = grouped.apply({"params": params}, x)
+    y_d = dense.apply({"params": params}, x)  # identical param shapes
+    np.testing.assert_allclose(
+        np.asarray(y_g), np.asarray(y_d), rtol=1e-5, atol=1e-5
+    )
+    # Gradients must flow only to the real blocks and match too.
+    def loss(fn, p):
+        return jnp.sum(jnp.square(fn.apply({"params": p}, x)))
+
+    g_g = jax.grad(lambda p: loss(grouped, p))(params)
+    g_d = jax.grad(lambda p: loss(dense, p))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        g_g, g_d,
+    )
+
+
+def test_msd_dense_groups_parity():
+    """Full MSD with dense_groups_max_g on/off: same params -> same logits
+    and features."""
+    from music_synthesis_tpu.models.discriminators import (
+        MultiScaleDiscriminator,
+    )
+
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, 2048))
+    cfg_g = TINY.msd
+    cfg_d = dataclasses.replace(cfg_g, dense_groups_max_g=256)
+    m_g = MultiScaleDiscriminator(cfg_g)
+    m_d = MultiScaleDiscriminator(cfg_d)
+    params = m_g.init(jax.random.PRNGKey(1), wav)["params"]
+    lg, fg = m_g.apply({"params": params}, wav)
+    ld, fd = m_d.apply({"params": params}, wav)
+    for a, b in zip(lg, ld):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        fg, fd,
+    )
+
+
+def test_stage2_concat_disc_batch_parity():
+    """concat_disc_batch runs one D forward on [real; fake]; the resulting
+    step must match the two-forward step to float tolerance."""
+    from music_synthesis_tpu.train import stage2
+
+    cfg0 = TINY
+    cfg1 = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, concat_disc_batch=True)
+    )
+    rng = jax.random.PRNGKey(0)
+    wav = 0.5 * jnp.tanh(jax.random.normal(
+        jax.random.PRNGKey(3), (TINY.train.batch_size,
+                                TINY.train.segment_length)))
+    s0 = stage2.make_train_state(cfg0, rng)
+    s1 = stage2.make_train_state(cfg1, rng)
+    ns0, m0 = stage2.train_step_impl(cfg0, s0, wav)
+    ns1, m1 = stage2.train_step_impl(cfg1, s1, wav)
+    for k in ("d_loss", "g_loss", "g_fm", "g_stft"):
+        np.testing.assert_allclose(
+            float(m0[k]), float(m1[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    # Param tolerance is the Adam-update scale (2*lr): a different conv
+    # batch shape can change float reduction order by ~eps, and Adam's
+    # m/sqrt(v) normalization amplifies an eps-scale gradient difference on
+    # a zero-gradient leaf into a full +-lr step. Loss/gradient agreement
+    # above is the meaningful parity check.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4,
+            atol=2.5 * TINY.train.d_lr,
+        ),
+        ns0.d_params, ns1.d_params,
+    )
+
+
 def test_stage1_fm_target_is_clean_under_noise():
     """With instance noise on, the feature-matching target must come from
     CLEAN real features (round-2 advisor): zeroing lambda_fm changes g_loss
