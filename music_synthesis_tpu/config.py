@@ -190,6 +190,12 @@ class MRDConfig:
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
     compute_dtype: str = "float32"
+    # F-axis space-to-depth factor for the conv stack (ops/conv.py
+    # FFoldedWNConv2d). 0/1 = off (reference-shaped lowering). 4 folds the
+    # 32-channel (3,9) convs into 128-channel (3,3..4) convs — full MXU
+    # lanes; same parameters, same math (checkpoints interchange), measured
+    # motivation in docs/DESIGN.md §11.
+    f_fold: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

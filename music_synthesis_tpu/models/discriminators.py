@@ -15,6 +15,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from music_synthesis_tpu.config import MRDConfig, MSDConfig
 from music_synthesis_tpu.ops.conv import WNConv, avg_pool1d
@@ -94,7 +95,15 @@ class MultiScaleDiscriminator(nn.Module):
 
 
 class STFTDiscriminator(nn.Module):
-    """One spectral head: wav ``[B, L]`` -> 2-D convs on log|STFT|."""
+    """One spectral head: wav ``[B, L]`` -> 2-D convs on log|STFT|.
+
+    ``f_fold > 1`` runs the conv stack in F-space-to-depth form
+    (ops/conv.py FFoldedWNConv2d): same parameters and same math as the
+    unfolded path (parity-tested), but the MXU sees ``f_fold *
+    channels``-lane contractions instead of 32. Features and logits are
+    unfolded back to logical ``[B, T, F', C]`` so every consumer (hinge,
+    feature matching) is lowering-agnostic.
+    """
 
     n_fft: int
     hop: int
@@ -103,6 +112,7 @@ class STFTDiscriminator(nn.Module):
     leaky_slope: float = 0.2
     use_weight_norm: bool = True
     compute_dtype: str = "float32"
+    f_fold: int = 0
 
     @nn.compact
     def __call__(self, wav: jax.Array):
@@ -116,9 +126,45 @@ class STFTDiscriminator(nn.Module):
             ((3, 9), (1, 2)),
             ((3, 3), (1, 1)),
         ]
-        for i, (k, s) in enumerate(layer_specs):
+        s = self.f_fold
+        if s > 1:
+            from music_synthesis_tpu.ops.conv import FFoldedWNConv2d
+
+            b, t, f_log, _ = x.shape
+            fb = -(-f_log // s)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, fb * s - f_log), (0, 0)))
+            x = x.reshape(b, t, fb, s)  # fold: f = s*fb + fp
+
+            def unfold(y, f_valid):
+                bb, tt, fbb, sc = y.shape
+                return y.reshape(bb, tt, fbb * s, sc // s)[:, :, :f_valid, :]
+
+            for i, (k, (st, sf)) in enumerate(layer_specs):
+                x = FFoldedWNConv2d(
+                    self.channels, k, f_stride=sf, fold=s,
+                    use_weight_norm=self.use_weight_norm,
+                    compute_dtype=self.compute_dtype, name=f"conv_{i}",
+                )(x)
+                x = nn.leaky_relu(x, self.leaky_slope)
+                f_log = -(-f_log // sf)
+                # Re-zero logical positions >= f_log so the next layer sees
+                # exact 'same'-padding semantics.
+                fbo = x.shape[2]
+                mask = np.repeat(
+                    (np.arange(fbo * s).reshape(fbo, s) < f_log),
+                    x.shape[-1] // s, axis=-1,
+                ).astype(np.float32)
+                x = x * jnp.asarray(mask, x.dtype)
+                feats.append(unfold(x, f_log))
+            logit = FFoldedWNConv2d(
+                1, (3, 3), f_stride=1, fold=s,
+                use_weight_norm=self.use_weight_norm,
+                compute_dtype=self.compute_dtype, name="conv_out",
+            )(x)
+            return unfold(logit, f_log), feats
+        for i, (k, st) in enumerate(layer_specs):
             x = WNConv(
-                self.channels, k, strides=s, padding="same",
+                self.channels, k, strides=st, padding="same",
                 use_weight_norm=self.use_weight_norm,
                 compute_dtype=self.compute_dtype, name=f"conv_{i}",
             )(x)
@@ -144,7 +190,7 @@ class MultiResSTFTDiscriminator(nn.Module):
             logit, feats = STFTDiscriminator(
                 n_fft, hop, win, self.cfg.channels, self.cfg.leaky_slope,
                 self.cfg.use_weight_norm, self.cfg.compute_dtype,
-                name=f"res_{n_fft}",
+                self.cfg.f_fold, name=f"res_{n_fft}",
             )(wav)
             logits.append(logit)
             features.append(feats)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["WNConv", "WNConvTranspose1d", "avg_pool1d"]
+__all__ = ["WNConv", "WNConvTranspose1d", "FFoldedWNConv2d", "avg_pool1d"]
 
 
 def _init_std(
@@ -223,6 +223,115 @@ class WNConvTranspose1d(nn.Module):
                 "b", nn.initializers.zeros, (self.features,), jnp.float32
             )
             out = out + b.astype(cdt)
+        return out
+
+
+class FFoldedWNConv2d(nn.Module):
+    """2-D WNConv over ``[B, T, F, C]`` computed in F-space-to-depth form.
+
+    TPU motivation (runs/trace_stage2, docs/DESIGN.md §11): the MRD's 2-D
+    convs run at 32 channels — a quarter of the MXU's 128 lanes — and are
+    37% of the stage-2 step. Folding the frequency axis by ``fold`` (input
+    arrives as ``[B, T, F/fold, fold*C]``; logical ``f = fold*fb + fp``,
+    folded channel ``fp*C + c``) turns a ``(kt, kf)`` stride ``(1, sf)``
+    conv into a ``(kt, kfb)`` stride ``(1, sf)`` conv at ``fold*C`` in/out
+    channels — MXU-shaped — with the folded kernel built from the LOGICAL
+    kernel by a constant scatter. Same parameters (``v``/``g``/``b`` shapes
+    identical to :class:`WNConv`), same math: checkpoints interchange with
+    the unfolded path bit-for-bit.
+
+    The caller tracks logical F sizes, pads F to a multiple of ``fold``
+    before folding, and masks logical positions ``>= F_out`` after each
+    layer (see STFTDiscriminator) so zero-padding semantics stay exact.
+    """
+
+    features: int  # logical output channels
+    kernel_size: tuple[int, int]  # (kt, kf) over (time, freq)
+    f_stride: int = 1
+    fold: int = 4
+    use_weight_norm: bool = True
+    use_bias: bool = True
+    init_scale: float = 0.02
+    init_scheme: str = "dcgan"
+    init_gain: float = 1.0
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: ``[B, T, Fb, fold*Cin]`` -> ``[B, T', F'b, fold*features]``.
+
+        ``T`` uses torch-style 'same' zero padding (stride 1); the folded F
+        geometry reproduces logical 'same' padding exactly.
+        """
+        kt, kf = self.kernel_size
+        s, sf = self.fold, self.f_stride
+        cin_f = x.shape[-1]
+        assert cin_f % s == 0, (cin_f, s)
+        cin = cin_f // s
+        fb = x.shape[2]
+
+        # Logical params — identical to WNConv([kt, kf], cin, features).
+        kshape = (kt, kf, cin, self.features)
+        fan_in = cin * kt * kf
+        std = _init_std(self.init_scheme, self.init_scale, fan_in,
+                        self.init_gain)
+        v = self.param("v", nn.initializers.normal(std), kshape, jnp.float32)
+        if self.use_weight_norm:
+            g = self.param(
+                "g",
+                lambda _key: jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=(0, 1, 2)) + 1e-12
+                ),
+            )
+            kernel = _normalize(v, g)
+        else:
+            kernel = v
+
+        # Fold the logical kernel: for each (fop, df), the logical input tap
+        # f = sf*(s*fob + fop) + df - pf_lo lands at folded position
+        # fb_off = floor(m/s), phase fip = m mod s, with m = sf*fop + df -
+        # pf_lo (torch-'same' pf_lo = (kf-1)//2).
+        pf_lo = (kf - 1) // 2
+        taps = {}
+        for fop in range(s):
+            for df in range(kf):
+                m = sf * fop + df - pf_lo
+                taps[(fop, df)] = (m // s, m % s)
+        dfb_min = min(t[0] for t in taps.values())
+        dfb_max = max(t[0] for t in taps.values())
+        kfb = dfb_max - dfb_min + 1
+        wf = jnp.zeros((kt, kfb, s * cin, s * self.features), kernel.dtype)
+        for (fop, df), (dfb, fip) in taps.items():
+            wf = wf.at[
+                :, dfb - dfb_min,
+                fip * cin:(fip + 1) * cin,
+                fop * self.features:(fop + 1) * self.features,
+            ].set(kernel[:, df])
+
+        # Folded output length: enough fb positions to cover the logical
+        # 'same' output ceil(F_in/sf); the caller slices/masks the tail.
+        fb_out = -(-fb // sf) if sf > 1 else fb
+        pad_lo = -dfb_min
+        pad_hi = max(0, sf * (fb_out - 1) + dfb_max - (fb - 1))
+        pt = (kt - 1) // 2
+        xp = jnp.pad(
+            x, ((0, 0), (pt, kt - 1 - pt), (pad_lo, pad_hi), (0, 0))
+        )
+        cdt = jnp.dtype(self.compute_dtype)
+        dn = lax.conv_dimension_numbers(
+            xp.shape, wf.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        out = lax.conv_general_dilated(
+            xp.astype(cdt), wf.astype(cdt),
+            window_strides=(1, sf),
+            padding="VALID",
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            b = self.param(
+                "b", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + jnp.tile(b, s).astype(cdt)
         return out
 
 

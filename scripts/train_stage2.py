@@ -77,6 +77,9 @@ def main() -> None:
     ap.add_argument("--dense-groups", type=int, default=0,
                     help="run MSD grouped convs with groups <= N as dense "
                          "block-diagonal convs (identical math, MXU-dense)")
+    ap.add_argument("--f-fold", type=int, default=0,
+                    help="MRD F-axis space-to-depth factor (4 = 128-lane "
+                         "convs; identical math, checkpoints interchange)")
     ap.add_argument("--bf16-disc", action="store_true",
                     help="bfloat16 compute in both discriminators (MXU-native)")
     ap.add_argument("--bf16-gen", action="store_true",
@@ -136,6 +139,8 @@ def main() -> None:
         mrd = dataclasses.replace(mrd, compute_dtype="bfloat16")
     if args.dense_groups:
         msd = dataclasses.replace(msd, dense_groups_max_g=args.dense_groups)
+    if args.f_fold:
+        mrd = dataclasses.replace(mrd, f_fold=args.f_fold)
     cfg = dataclasses.replace(
         base,
         vocoder=vocoder,
