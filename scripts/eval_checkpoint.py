@@ -57,17 +57,34 @@ def main() -> None:
     out = Path(args.out) if args.out else run / "eval"
     out.mkdir(parents=True, exist_ok=True)
 
-    base = TINY if args.preset == "tiny" else PipelineConfig()
-    vocoder = base.vocoder
-    if args.head == "istft":
-        vocoder = dataclasses.replace(
-            vocoder, head="istft", upsample_factors=(8, 8),
-            istft_n_fft=16, istft_hop=4,
+    cfg_file = run / "config.json"
+    if cfg_file.exists():
+        # Exact provenance (round-3): the config the run trained with,
+        # including optimizer-state-shaping fields (lr decay / grad clip)
+        # and head/init settings. CLI config flags are ignored.
+        from music_synthesis_tpu.config import config_from_dict
+
+        cfg = config_from_dict(json.loads(cfg_file.read_text()))
+        print(f"config from {cfg_file}")
+        if jax.default_backend() != "tpu" and cfg.train.use_pallas_frontend:
+            # Off-TPU the kernel would run in (slow) interpret mode; the
+            # pure-JAX oracle is parity-tested against it — use it here.
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(
+                    cfg.train, use_pallas_frontend=False)
+            )
+    else:
+        base = TINY if args.preset == "tiny" else PipelineConfig()
+        vocoder = base.vocoder
+        if args.head == "istft":
+            vocoder = dataclasses.replace(
+                vocoder, head="istft", upsample_factors=(8, 8),
+                istft_n_fft=16, istft_hop=4,
+            )
+        cfg = dataclasses.replace(
+            base, vocoder=vocoder,
+            train=dataclasses.replace(base.train, ema_decay=args.ema),
         )
-    cfg = dataclasses.replace(
-        base, vocoder=vocoder,
-        train=dataclasses.replace(base.train, ema_decay=args.ema),
-    )
     stats_file = run / "mel_stats.json"
     if stats_file.exists():
         s = json.loads(stats_file.read_text())
