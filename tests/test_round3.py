@@ -79,6 +79,29 @@ def test_default_preset_stage1_step_compiles():
     assert compiled.cost_analysis() is not None
 
 
+@pytest.mark.slow
+def test_zoo_composer_roundtrip():
+    """The shipped trained composer (zoo/specgan_rich) loads by name and
+    generates mel patches with real-corpus-like statistics (amplitude in
+    the normalized working range, not saturated, not silent)."""
+    from music_synthesis_tpu import zoo
+    from music_synthesis_tpu.models.specgan import SpectrogramGenerator
+
+    if "specgan_rich" not in zoo.list_pretrained():
+        pytest.skip("zoo entry not present")
+    e = zoo.load_pretrained("specgan_rich")
+    assert e.kind == "specgan"
+    assert e.config.init_scheme == "he"  # provenance from run config.json
+    assert e.mel_scaler is not None
+    gen = SpectrogramGenerator(e.config)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, e.config.latent_dim))
+    mel = gen.apply({"params": e.params}, z)
+    assert mel.shape == (2, e.config.n_frames, e.config.n_mels)
+    rms = float(jnp.sqrt(jnp.mean(jnp.square(mel))))
+    assert 0.3 < rms < 1.0, rms  # trained amplitude, not frozen/saturated
+    assert float(jnp.max(jnp.abs(mel))) <= 1.0  # tanh-bounded
+
+
 def test_config_roundtrip_exact():
     """to_dict -> from_dict reproduces the config exactly (incl. tuples)."""
     cfg = dataclasses.replace(
