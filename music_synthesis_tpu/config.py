@@ -121,8 +121,10 @@ class VocoderConfig:
     # Extra init-std multiplier on the OUTPUT conv only. With 'he' the
     # generator's init output lands in tanh's saturated region (rms ~0.7,
     # measured: gradients vanish and training pins loud); 0.1 starts it at
-    # moderate amplitude inside the linear region. Ignored semantics-wise
-    # for 'dcgan' (kept at 1.0 there by the presets).
+    # moderate amplitude inside the linear region. The multiplier applies
+    # under BOTH schemes (std = gain * init_scale for 'dcgan' too — stage 1
+    # uses it with dcgan deliberately); the stage-2 presets simply keep it
+    # at 1.0 under 'dcgan'.
     out_init_gain: float = 1.0
     # Init-std multiplier on each residual block's branch-output conv.
     # Residual addition doubles activation variance per block, which defeats
