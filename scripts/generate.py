@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--ema2", type=float, default=0.0,
                     help="stage-2 EMA decay used in training (ckpt dirs only)")
     ap.add_argument("--n", type=int, default=4, help="clips to generate")
+    ap.add_argument("--seconds", type=float, default=0.0,
+                    help="when > one patch (~1.5 s), stitch N latent "
+                         "patches via mel-domain COLA crossfade "
+                         "(infer.generate_long) to this duration")
+    ap.add_argument("--crossfade-frames", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="generated")
     ap.add_argument("--report", action="store_true",
@@ -156,10 +161,29 @@ def main() -> None:
     s2 = types.SimpleNamespace(g_params=g2)
     print("generators ready; compiling fused two-stage program...", flush=True)
 
-    z = jax.random.normal(key, (args.n, cfg.specgan.latent_dim))
-    fn = jax.jit(generate, static_argnums=0)
+    patch_s = (cfg.specgan.n_frames * cfg.frontend.hop_length
+               / cfg.frontend.sample_rate)
+    if args.seconds > patch_s:
+        # Long-form composition: N crossfaded latent patches, one program.
+        from music_synthesis_tpu.infer.generate import generate_long
+
+        hop_t = cfg.specgan.n_frames - args.crossfade_frames
+        frames = int(args.seconds * cfg.frontend.sample_rate
+                     / cfg.frontend.hop_length)
+        n_patches = max(1, -(-(frames - args.crossfade_frames) // hop_t))
+        print(f"long-form: {n_patches} patches x {cfg.specgan.n_frames} "
+              f"frames, crossfade {args.crossfade_frames}")
+        z = jax.random.normal(
+            key, (args.n, n_patches, cfg.specgan.latent_dim))
+        fn = jax.jit(generate_long, static_argnums=(0, 4))
+        call = lambda zi: fn(cfg, s1.g_params, s2.g_params, zi,
+                             args.crossfade_frames)
+    else:
+        z = jax.random.normal(key, (args.n, cfg.specgan.latent_dim))
+        fn = jax.jit(generate, static_argnums=0)
+        call = lambda zi: fn(cfg, s1.g_params, s2.g_params, zi)
     t0 = time.perf_counter()
-    wav = fn(cfg, s1.g_params, s2.g_params, z)
+    wav = call(z)
     wav.block_until_ready()
     compile_s = time.perf_counter() - t0
     # Steady-state timing over fresh latents (avoids any same-input reuse).
@@ -167,7 +191,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for i in range(iters):
         zi = jax.random.normal(jax.random.fold_in(key, i), z.shape)
-        wav = fn(cfg, s1.g_params, s2.g_params, zi)
+        wav = call(zi)
     wav.block_until_ready()
     run_s = (time.perf_counter() - t0) / iters
     audio_s = wav.shape[0] * wav.shape[1] / cfg.frontend.sample_rate
@@ -185,8 +209,9 @@ def main() -> None:
         from music_synthesis_tpu.models.specgan import SpectrogramGenerator
         from music_synthesis_tpu.utils.report import write_report
 
+        z2 = z if z.ndim == 2 else z[:, 0]  # first patch per long-form clip
         mel = SpectrogramGenerator(cfg.specgan).apply(
-            {"params": s1.g_params}, z
+            {"params": s1.g_params}, z2
         )
         rp = write_report(
             outdir / "report.html",
