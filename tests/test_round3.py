@@ -49,6 +49,40 @@ def test_default_preset_stage2_step_compiles():
 
 
 @pytest.mark.slow
+def test_fast_recipe_stage2_step_compiles():
+    """The production fast recipe (bf16 + reuse + dense groups + concat-D +
+    MRD F-fold — what the 200k run and bench use) compiles at judged size."""
+    import functools
+
+    from music_synthesis_tpu.train import stage2
+
+    base = PipelineConfig()
+    cfg = dataclasses.replace(
+        base,
+        msd=dataclasses.replace(
+            base.msd, compute_dtype="bfloat16", dense_groups_max_g=64),
+        mrd=dataclasses.replace(base.mrd, compute_dtype="bfloat16", f_fold=4),
+        vocoder=dataclasses.replace(base.vocoder, compute_dtype="bfloat16"),
+        train=dataclasses.replace(
+            base.train, reuse_real_features=True, concat_disc_batch=True,
+            ema_decay=0.999, lr_decay_rate=0.995,
+        ),
+    )
+    state = jax.eval_shape(
+        functools.partial(stage2.make_train_state, cfg), jax.random.PRNGKey(0)
+    )
+    wav = jax.ShapeDtypeStruct(
+        (cfg.train.batch_size, cfg.train.segment_length), jnp.float32
+    )
+    compiled = (
+        jax.jit(stage2.train_step_impl, static_argnums=0)
+        .lower(cfg, state, wav)
+        .compile()
+    )
+    assert compiled.cost_analysis() is not None
+
+
+@pytest.mark.slow
 def test_default_preset_stage1_step_compiles():
     """Default-size stage-1 step (round-3 cure recipe) compiles on CPU."""
     import functools
