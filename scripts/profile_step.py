@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--bf16-gen", action="store_true")
     ap.add_argument("--reuse-real-feats", action="store_true")
     ap.add_argument("--pallas-frontend", action="store_true")
+    ap.add_argument("--dense-groups", type=int, default=0)
+    ap.add_argument("--concat-disc", action="store_true")
+    ap.add_argument("--f-fold", type=int, default=0)
     args = ap.parse_args()
 
     from music_synthesis_tpu.utils.env import maybe_force_cpu
@@ -49,12 +52,17 @@ def main() -> None:
     if args.bf16_disc:
         msd = dataclasses.replace(msd, compute_dtype="bfloat16")
         mrd = dataclasses.replace(mrd, compute_dtype="bfloat16")
+    if args.dense_groups:
+        msd = dataclasses.replace(msd, dense_groups_max_g=args.dense_groups)
+    if args.f_fold:
+        mrd = dataclasses.replace(mrd, f_fold=args.f_fold)
     cfg = dataclasses.replace(
         base, vocoder=vocoder, msd=msd, mrd=mrd,
         train=TrainConfig(
             batch_size=args.batch, segment_length=args.segment,
             use_pallas_frontend=args.pallas_frontend,
             reuse_real_features=args.reuse_real_feats,
+            concat_disc_batch=args.concat_disc,
         ),
     )
     state = stage2.make_train_state(cfg, jax.random.PRNGKey(0))
