@@ -278,6 +278,13 @@ class TrainConfig:
     r1_gamma: float = 0.0
     lambda_feature_matching: float = 10.0
     lambda_stft: float = 2.5
+    # Frame-energy L1 between fake and real waveforms (stage 2, linear
+    # amplitude, hop-sized frames). Measured motivation (ROADMAP quality
+    # lead): trained vocoders render structurally correct audio ~10x
+    # quieter than real while the spectral losses keep improving — an
+    # explicit energy term targets the sag directly. 0 = off
+    # (reference-faithful default).
+    lambda_energy: float = 0.0
     # ParallelWaveGAN-style generator warmup (stage 2 only): for the first N
     # steps the generator trains on the multi-res STFT loss alone and the
     # discriminator update is masked. The gate is traced on state.step — one

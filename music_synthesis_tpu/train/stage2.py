@@ -190,7 +190,24 @@ def train_step_impl(
                 adv_w * (adv + t.lambda_feature_matching * fm)
                 + t.lambda_stft * stft
             )
-        return total, {"g_adv": adv, "g_fm": fm, "g_stft": stft}
+            aux = {"g_adv": adv, "g_fm": fm, "g_stft": stft}
+            if t.lambda_energy > 0:
+                # Frame-energy L1 (TrainConfig.lambda_energy): hop-sized
+                # frame rms in linear amplitude — a direct pull against the
+                # measured amplitude sag.
+                hop = cfg.frontend.hop_length
+                b = wav.shape[0]
+
+                def frame_rms(x):
+                    f = x[:, : (x.shape[1] // hop) * hop]
+                    f = f.reshape(b, -1, hop)
+                    return jnp.sqrt(jnp.mean(jnp.square(f), -1) + 1e-8)
+
+                energy = jnp.mean(
+                    jnp.abs(frame_rms(fake_g) - frame_rms(wav)))
+                total = total + t.lambda_energy * energy
+                aux["g_energy"] = energy
+        return total, aux
 
     with jax.named_scope("g_step"):
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(

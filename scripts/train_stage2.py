@@ -57,6 +57,9 @@ def main() -> None:
                     help="exponential lr decay rate per --lr-decay-every "
                          "steps (1.0 = constant)")
     ap.add_argument("--lr-decay-every", type=int, default=1000)
+    ap.add_argument("--lambda-energy", type=float, default=0.0,
+                    help="frame-energy L1 weight (counteracts the measured "
+                         "amplitude sag; 0 = reference-faithful off)")
     ap.add_argument("--lambda-stft", type=float, default=None,
                     help="override TrainConfig.lambda_stft (default 2.5; "
                          "HiFi-GAN-class recipes weight reconstruction "
@@ -159,6 +162,7 @@ def main() -> None:
             gan_loss=args.gan_loss,
             lr_decay_rate=args.lr_decay,
             lr_decay_every=args.lr_decay_every,
+            lambda_energy=args.lambda_energy,
             **({"lambda_stft": args.lambda_stft}
                if args.lambda_stft is not None else {}),
         ),

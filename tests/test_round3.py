@@ -375,6 +375,40 @@ def test_stage2_concat_disc_batch_parity():
     )
 
 
+def test_stage2_energy_loss_knob():
+    """lambda_energy adds a finite frame-energy term that penalizes quiet
+    output: a half-amplitude fake has nonzero g_energy, and the knob
+    changes the G update."""
+    from music_synthesis_tpu.train import stage2
+    from music_synthesis_tpu.losses.stft_loss import multires_stft_loss  # noqa
+
+    cfg0 = TINY
+    cfg1 = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, lambda_energy=5.0)
+    )
+    rng = jax.random.PRNGKey(0)
+    wav = 0.5 * jnp.tanh(jax.random.normal(
+        jax.random.PRNGKey(3),
+        (TINY.train.batch_size, TINY.train.segment_length)))
+    s0 = stage2.make_train_state(cfg0, rng)
+    s1 = stage2.make_train_state(cfg1, rng)
+    ns0, m0 = stage2.train_step_impl(cfg0, s0, wav)
+    ns1, m1 = stage2.train_step_impl(cfg1, s1, wav)
+    assert "g_energy" not in m0
+    assert float(m1["g_energy"]) > 0  # init generator is near-silent
+    assert np.isfinite(float(m1["g_loss"]))
+    # The term is wired into the optimized objective: g_loss decomposes as
+    # adv + lam_fm*fm + lam_stft*stft + lam_energy*energy. (A param-diff
+    # check would be vacuous: Adam's first step is sign descent, so a small
+    # extra gradient that flips no signs leaves step-1 params identical.)
+    t = cfg1.train
+    rhs = (float(m1["g_adv"])
+           + t.lambda_feature_matching * float(m1["g_fm"])
+           + t.lambda_stft * float(m1["g_stft"])
+           + t.lambda_energy * float(m1["g_energy"]))
+    np.testing.assert_allclose(float(m1["g_loss"]), rhs, rtol=1e-4)
+
+
 def test_stage1_fm_target_is_clean_under_noise():
     """With instance noise on, the feature-matching target must come from
     CLEAN real features (round-2 advisor): zeroing lambda_fm changes g_loss
