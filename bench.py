@@ -130,6 +130,13 @@ def bench_stage2_step(results: dict) -> None:
         # FLOP accounting for the MFU/roofline paragraph (DESIGN.md §2):
         # XLA's own cost model, via the already-compiled n=1 loop program
         # (one scan iteration = one step; avoids a third large compile).
+        # The fast recipe's dense-groups relayout deliberately EXECUTES
+        # extra FLOPs (zero off-blocks) to win dense MXU tiling, so the
+        # sustained number from the compiled program is "executed"
+        # throughput; the honest utilization figure divides wall time into
+        # the LOGICAL FLOPs of the math-identical non-relayout program
+        # (same recipe, dense_groups_max_g=0), costed from unoptimized HLO
+        # so no second backend compile is paid (ROADMAP perf lead #3).
         try:
             state = stage2.make_train_state(cfg, jax.random.PRNGKey(0))
             cost = many.lower(
@@ -139,8 +146,40 @@ def bench_stage2_step(results: dict) -> None:
             results[name + "_tflops_per_s"] = round(
                 flops / best / 1e12, 2
             )
-            log(f"[{name}] XLA-estimated {flops / 1e9:.1f} GFLOP/step -> "
-                f"{flops / best / 1e12:.1f} TFLOP/s sustained")
+            log(f"[{name}] XLA-estimated {flops / 1e9:.1f} GFLOP/step "
+                f"(executed) -> {flops / best / 1e12:.1f} TFLOP/s sustained")
+            if cfg.msd.dense_groups_max_g:
+                twin = dataclasses.replace(
+                    cfg, msd=dataclasses.replace(
+                        cfg.msd, dense_groups_max_g=0))
+
+                @functools.partial(jax.jit, static_argnums=0)
+                def many_twin(n: int, st, loop_key, _cfg=twin):
+                    def body(st, i):
+                        wav = 0.5 * jnp.tanh(jax.random.normal(
+                            jax.random.fold_in(loop_key, i), (b, seg)))
+                        st, m = stage2.train_step_impl(_cfg, st, wav)
+                        return st, m["d_loss"]
+
+                    st, losses = lax.scan(body, st, jnp.arange(n))
+                    return jnp.sum(losses)
+
+                # Param pytrees are identical (the relayout scatters grouped
+                # kernels into a block-diagonal dense kernel at apply time;
+                # ops/conv.py keeps the grouped param shape), so the same
+                # state lowers the twin.
+                lcost = many_twin.lower(
+                    1, state, jax.random.PRNGKey(0)).cost_analysis()
+                lflops = float(lcost.get("flops", 0.0))
+                if lflops > 0:
+                    results[name + "_logical_tflops_per_s"] = round(
+                        lflops / best / 1e12, 2)
+                    results[name + "_executed_flop_inflation"] = round(
+                        flops / lflops, 2)
+                    log(f"[{name}] logical {lflops / 1e9:.1f} GFLOP/step -> "
+                        f"{lflops / best / 1e12:.2f} TFLOP/s useful "
+                        f"({flops / lflops:.2f}x executed-FLOP inflation "
+                        f"from the dense-groups relayout)")
         except Exception as e:  # cost model is best-effort
             log(f"[{name}] cost_analysis unavailable: {e}")
 

@@ -285,6 +285,14 @@ class TrainConfig:
     # explicit energy term targets the sag directly. 0 = off
     # (reference-faithful default).
     lambda_energy: float = 0.0
+    # Temporal-flux profile matching (stage 1 only). Measured motivation
+    # (DESIGN.md §12): the trained composer matches the corpus marginals
+    # (bin-mean L2 0.070) but its temporal flux is ~2.3x real — generated
+    # spectrograms flicker. This term L1-matches the per-mel-bin mean
+    # |frame-to-frame difference| profile of the fakes to the real batch's
+    # (stop-gradient target), a direct differentiable pull on the texture
+    # statistic the eval measures. 0 = off (reference-faithful default).
+    lambda_flux: float = 0.0
     # ParallelWaveGAN-style generator warmup (stage 2 only): for the first N
     # steps the generator trains on the multi-res STFT loss alone and the
     # discriminator update is masked. The gate is traced on state.step — one

@@ -202,7 +202,23 @@ def train_step_impl(
         with jax.named_scope("losses"):
             adv = _g_loss_fn(t.gan_loss)(fake_logit)
             fm = feature_matching_loss(real_feats, fake_feats)
-        return adv + t.lambda_feature_matching * fm, {"g_adv": adv, "g_fm": fm}
+            loss = adv + t.lambda_feature_matching * fm
+            aux = {"g_adv": adv, "g_fm": fm}
+            if t.lambda_flux > 0:
+                # Temporal-texture matching (TrainConfig.lambda_flux).
+                # Profiles are pmean'd under DP before the L1, so the term
+                # equals the global-batch computation exactly (pmean is
+                # linear; its gradient under shard_map is pmean).
+                def flux_profile(x):
+                    return jnp.mean(jnp.abs(jnp.diff(x, axis=1)), axis=(0, 1))
+
+                pf = pmean(flux_profile(fake_g))
+                pr = pmean(flux_profile(
+                    jax.lax.stop_gradient(real_mel)))
+                flux = jnp.mean(jnp.abs(pf - pr))
+                loss = loss + t.lambda_flux * flux
+                aux["g_flux"] = flux
+        return loss, aux
 
     with jax.named_scope("g_step"):
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(

@@ -62,6 +62,9 @@ def main() -> None:
     ap.add_argument("--lr-decay-every", type=int, default=1000)
     ap.add_argument("--ema", type=float, default=0.0,
                     help="generator EMA decay (0 = off)")
+    ap.add_argument("--lambda-flux", type=float, default=0.0,
+                    help="temporal-flux profile matching weight (0 = off; "
+                         "targets the measured flicker, DESIGN.md §12)")
     ap.add_argument("--reuse-real-feats", action="store_true")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute in G and D")
@@ -121,6 +124,7 @@ def main() -> None:
             d_input_noise=args.d_noise,
             d_noise_decay_steps=args.noise_decay_steps,
             r1_gamma=args.r1_gamma,
+            lambda_flux=args.lambda_flux,
             lr_decay_rate=args.lr_decay,
             lr_decay_every=args.lr_decay_every,
             **({"g_lr": args.g_lr} if args.g_lr else {}),

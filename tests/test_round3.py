@@ -409,6 +409,37 @@ def test_stage2_energy_loss_knob():
     np.testing.assert_allclose(float(m1["g_loss"]), rhs, rtol=1e-4)
 
 
+def test_stage1_flux_loss_knob():
+    """lambda_flux adds a finite temporal-texture term: with a real batch
+    whose flux profile differs from the init generator's, g_flux is
+    nonzero and the G objective decomposes as adv + lam_fm*fm +
+    lam_flux*flux."""
+    from music_synthesis_tpu.train import stage1
+
+    cfg0 = TINY
+    cfg1 = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, lambda_flux=3.0)
+    )
+    rng = jax.random.PRNGKey(0)
+    s = cfg0.specgan
+    # Real patches with strong frame-to-frame variation (high flux).
+    real = jnp.tanh(jax.random.normal(
+        jax.random.PRNGKey(5),
+        (TINY.train.batch_size, s.n_frames, s.n_mels)))
+    s0 = stage1.make_train_state(cfg0, rng)
+    s1 = stage1.make_train_state(cfg1, rng)
+    _, m0 = stage1.train_step_impl(cfg0, s0, real)
+    _, m1 = stage1.train_step_impl(cfg1, s1, real)
+    assert "g_flux" not in m0
+    assert float(m1["g_flux"]) > 0
+    assert np.isfinite(float(m1["g_loss"]))
+    t = cfg1.train
+    rhs = (float(m1["g_adv"])
+           + t.lambda_feature_matching * float(m1["g_fm"])
+           + t.lambda_flux * float(m1["g_flux"]))
+    np.testing.assert_allclose(float(m1["g_loss"]), rhs, rtol=1e-4)
+
+
 def test_stage1_fm_target_is_clean_under_noise():
     """With instance noise on, the feature-matching target must come from
     CLEAN real features (round-2 advisor): zeroing lambda_fm changes g_loss
