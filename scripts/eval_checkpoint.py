@@ -114,7 +114,7 @@ def main() -> None:
 
     dist_fn = jax.jit(lambda a, b: multires_stft_loss(a, b, cfg.stft_loss))
 
-    clips, dists = [], []
+    clips, dists, rms_ratios = [], [], []
     for i in range(args.n_clips):
         # Held-out step indices far from any training step.
         real = ds.sample_batch(2**29 + i, 1, seed=1234)
@@ -122,6 +122,12 @@ def main() -> None:
         y = copy_synth(x)
         d = float(dist_fn(y, x))
         dists.append(d)
+        # Amplitude health: the spectral distance is insensitive to broad
+        # level errors (ROADMAP quality lead: outputs ran ~10x quiet), so
+        # report the resynth/real RMS ratio alongside it.
+        rms_ratios.append(float(np.sqrt(
+            (np.mean(np.square(np.asarray(y))) + 1e-12)
+            / (np.mean(np.square(real)) + 1e-12))))
         write_wav(out / f"real_{i:02d}.wav", cfg.frontend.sample_rate, real[0])
         write_wav(out / f"resynth_{i:02d}.wav", cfg.frontend.sample_rate,
                   np.asarray(y[0]))
@@ -133,6 +139,7 @@ def main() -> None:
         "checkpoint_step": step,
         "copy_synthesis_multires_stft_distance_mean": float(np.mean(dists)),
         "copy_synthesis_multires_stft_distance_std": float(np.std(dists)),
+        "resynth_rms_over_real_rms_mean": float(np.mean(rms_ratios)),
         "n_clips": args.n_clips,
         "generator_weights": 0.0 if which == "raw" else 1.0,
     }
