@@ -256,7 +256,9 @@ class TrainConfig:
     # losses/gan.py nonsat_d_loss docstring).
     gan_loss: str = "hinge"
     # Instance noise: stddev of Gaussian noise added to BOTH real and fake
-    # discriminator inputs (stage 1; normalized-mel units). Classic GAN
+    # discriminator inputs (stage 1: normalized-mel units; stage 2:
+    # waveform units — the anti-collapse lever for the iSTFT head,
+    # DESIGN.md §13). Classic GAN
     # stabilizer: D can never separate the distributions perfectly, so its
     # loss keeps a floor and its gradients stay informative — prevents the
     # measured D-perfect-separation -> G-saturation freeze cascade
@@ -274,7 +276,8 @@ class TrainConfig:
     # Bounds D's input-gradient norm, so D cannot sharpen into the
     # infinite-slope decision boundary that drives G's tanh-saturation
     # sprint (docs/DESIGN.md §10). 0 = off. Applied to the same (possibly
-    # noised) real batch D classifies.
+    # noised) real batch D classifies. Works in both stages (stage 2: one
+    # extra backward through the MSD+MRD ensemble).
     r1_gamma: float = 0.0
     lambda_feature_matching: float = 10.0
     lambda_stft: float = 2.5

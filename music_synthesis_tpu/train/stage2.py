@@ -117,6 +117,28 @@ def train_step_impl(
         fake = gen.apply({"params": state.g_params}, mel)
     fake_sg = jax.lax.stop_gradient(fake)
 
+    # Instance noise on D's waveform inputs (TrainConfig.d_input_noise,
+    # same schedule as stage 1). Motivated by the iSTFT-head collapse
+    # (DESIGN.md §13): noise blurs the head's hop-boundary fingerprint so
+    # D cannot reach the perfect-separation boundary. Per-device
+    # decorrelation under shard_map via the axis index.
+    rng = state.rng
+    d_real_in, d_fake_in, d_fake_g_noise = wav, fake_sg, None
+    if t.d_input_noise > 0:
+        rng, nk = jax.random.split(rng)
+        if axis_name:
+            nk = jax.random.fold_in(nk, jax.lax.axis_index(axis_name))
+        k1, k2, k3 = jax.random.split(nk, 3)
+        s_ = jnp.asarray(t.d_input_noise, wav.dtype)
+        if t.d_noise_decay_steps > 0:
+            frac = state.step.astype(wav.dtype) / t.d_noise_decay_steps
+            s_ = s_ * jnp.maximum(0.0, 1.0 - frac)
+        d_real_in = wav + s_ * jax.random.normal(k1, wav.shape, wav.dtype)
+        d_fake_in = fake_sg + s_ * jax.random.normal(
+            k2, fake_sg.shape, fake_sg.dtype)
+        d_fake_g_noise = s_ * jax.random.normal(
+            k3, fake_sg.shape, fake_sg.dtype)
+
     # --- D step (on detached fake) ---
     def d_loss_fn(d_params):
         if t.concat_disc_batch:
@@ -126,17 +148,38 @@ def train_step_impl(
             with jax.named_scope("disc_both"):
                 logits, feats = disc.apply(
                     {"params": d_params},
-                    jnp.concatenate([wav, fake_sg], axis=0),
+                    jnp.concatenate([d_real_in, d_fake_in], axis=0),
                 )
             real_logits = [l[:b] for l in logits]
             fake_logits = [l[b:] for l in logits]
             real_feats = [[f[:b] for f in head] for head in feats]
         else:
             with jax.named_scope("disc_real"):
-                real_logits, real_feats = disc.apply({"params": d_params}, wav)
+                real_logits, real_feats = disc.apply(
+                    {"params": d_params}, d_real_in)
             with jax.named_scope("disc_fake"):
-                fake_logits, _ = disc.apply({"params": d_params}, fake_sg)
-        return _d_loss_fn(t.gan_loss)(real_logits, fake_logits), real_feats
+                fake_logits, _ = disc.apply({"params": d_params}, d_fake_in)
+        loss = _d_loss_fn(t.gan_loss)(real_logits, fake_logits)
+        r1 = jnp.zeros((), jnp.float32)
+        if t.r1_gamma > 0:
+            # R1 gradient penalty on D(real) (TrainConfig.r1_gamma), as in
+            # stage 1: one extra backward through the full discriminator
+            # ensemble; per-sample input gradients via grad of the summed
+            # logits (batch elements are independent).
+            with jax.named_scope("r1_penalty"):
+                def logit_sum(x):
+                    ls, _ = disc.apply({"params": d_params}, x)
+                    return sum(
+                        jnp.sum(l.astype(jnp.float32)) for l in ls)
+
+                gx = jax.grad(logit_sum)(d_real_in)
+                per_sample = jnp.sum(
+                    jnp.square(gx.astype(jnp.float32)),
+                    axis=tuple(range(1, gx.ndim)),
+                )
+                r1 = 0.5 * t.r1_gamma * jnp.mean(per_sample)
+            loss = loss + r1
+        return loss, (real_feats, r1)
 
     # Generator-warmup gate: 1.0 once the adversarial game is on. Traced on
     # state.step so both phases share one compiled program.
@@ -146,7 +189,7 @@ def train_step_impl(
     )
 
     with jax.named_scope("d_step"):
-        (d_loss, real_feats_d), d_grads = jax.value_and_grad(
+        (d_loss, (real_feats_d, r1_val)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(state.d_params)
         d_grads = pmean(d_grads)
@@ -172,13 +215,21 @@ def train_step_impl(
     def g_loss_fn(g_params):
         with jax.named_scope("generator_fwd_g"):
             fake_g = gen_fwd({"params": g_params}, mel)
+        if d_fake_g_noise is not None:
+            fake_g_in = fake_g + d_fake_g_noise  # same realization; grads flow
+        else:
+            fake_g_in = fake_g
         with jax.named_scope("disc_fake_g"):
-            fake_logits, fake_feats = disc.apply({"params": d_params}, fake_g)
-        if t.reuse_real_features:
+            fake_logits, fake_feats = disc.apply(
+                {"params": d_params}, fake_g_in)
+        if t.reuse_real_features and t.d_input_noise == 0:
             # FM target = D(real) taps already computed in the D step
             # (pre-update D). Saves one full D forward per step.
             real_feats = real_feats_d
         else:
+            # With instance noise on, the cached taps were computed on the
+            # noised batch; the FM target must come from CLEAN real
+            # features (round-2 advisor rule, same as stage 1).
             with jax.named_scope("disc_real_g"):
                 _, real_feats = disc.apply({"params": d_params}, wav)
         with jax.named_scope("losses"):
@@ -233,7 +284,7 @@ def train_step_impl(
         d_params=d_params,
         g_opt=g_opt,
         d_opt=d_opt,
-        rng=state.rng,
+        rng=rng,
         g_ema=g_ema,
     )
     # Amplitude health: a collapsing ratio flags the silent-generator trap
@@ -245,6 +296,8 @@ def train_step_impl(
     metrics = pmean(
         {"d_loss": d_loss, "g_loss": g_loss, "g_rms_ratio": rms_ratio, **aux}
     )
+    if t.r1_gamma > 0:
+        metrics["d_r1"] = pmean(r1_val)
     metrics["d_grad_norm"] = d_grad_norm
     metrics["g_grad_norm"] = g_grad_norm
     metrics["d_update_norm"] = d_update_norm

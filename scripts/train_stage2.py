@@ -57,6 +57,13 @@ def main() -> None:
                     help="exponential lr decay rate per --lr-decay-every "
                          "steps (1.0 = constant)")
     ap.add_argument("--lr-decay-every", type=int, default=1000)
+    ap.add_argument("--r1-gamma", type=float, default=0.0,
+                    help="R1 gradient penalty on D(real) (0 = off); the "
+                         "anti-collapse lever for the iSTFT head")
+    ap.add_argument("--d-noise", type=float, default=0.0,
+                    help="instance-noise sigma on D's waveform inputs")
+    ap.add_argument("--noise-decay-steps", type=int, default=0,
+                    help="linear decay horizon for --d-noise (0 = constant)")
     ap.add_argument("--lambda-energy", type=float, default=0.0,
                     help="frame-energy L1 weight (counteracts the measured "
                          "amplitude sag; 0 = reference-faithful off)")
@@ -163,6 +170,9 @@ def main() -> None:
             lr_decay_rate=args.lr_decay,
             lr_decay_every=args.lr_decay_every,
             lambda_energy=args.lambda_energy,
+            r1_gamma=args.r1_gamma,
+            d_input_noise=args.d_noise,
+            d_noise_decay_steps=args.noise_decay_steps,
             **({"lambda_stft": args.lambda_stft}
                if args.lambda_stft is not None else {}),
         ),

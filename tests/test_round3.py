@@ -440,6 +440,36 @@ def test_stage1_flux_loss_knob():
     np.testing.assert_allclose(float(m1["g_loss"]), rhs, rtol=1e-4)
 
 
+def test_stage2_r1_and_instance_noise():
+    """Stage-2 stabilizers (ported for the measured iSTFT-head collapse):
+    with r1_gamma and d_input_noise on, the step runs with finite losses,
+    reports d_r1 > 0, and advances the rng (fresh noise per step)."""
+    from music_synthesis_tpu.train import stage2
+
+    cfg = dataclasses.replace(
+        TINY, train=dataclasses.replace(
+            TINY.train, r1_gamma=1.0, d_input_noise=0.1,
+            d_noise_decay_steps=100, reuse_real_features=True,
+            concat_disc_batch=True,
+        )
+    )
+    rng = jax.random.PRNGKey(0)
+    wav = 0.5 * jnp.tanh(jax.random.normal(
+        jax.random.PRNGKey(3),
+        (TINY.train.batch_size, TINY.train.segment_length)))
+    s = stage2.make_train_state(cfg, rng)
+    ns, m = stage2.train_step_impl(cfg, s, wav)
+    assert float(m["d_r1"]) > 0
+    for k in ("d_loss", "g_loss", "g_stft", "g_fm"):
+        assert np.isfinite(float(m[k])), k
+    # rng must advance (noise is fresh each step, unlike the noise-free
+    # stage-2 step which threads rng through unchanged).
+    assert not np.array_equal(np.asarray(ns.rng), np.asarray(s.rng))
+    # Second step from the new state also runs (decay schedule traced).
+    ns2, m2 = stage2.train_step_impl(cfg, ns, wav)
+    assert np.isfinite(float(m2["d_loss"]))
+
+
 def test_stage1_fm_target_is_clean_under_noise():
     """With instance noise on, the feature-matching target must come from
     CLEAN real features (round-2 advisor): zeroing lambda_fm changes g_loss
