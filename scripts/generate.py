@@ -38,6 +38,13 @@ def main() -> None:
                          "(infer.generate_long) to this duration")
     ap.add_argument("--crossfade-frames", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--target-rms", type=float, default=0.0,
+                    help="post-gain each clip to this RMS (0 = off). The "
+                         "trained vocoder renders ~0.25-0.4x real level "
+                         "(DESIGN.md §13 amplitude column); real corpus "
+                         "segments run ~0.14 RMS, so 0.1 is a reasonable "
+                         "listening level. Pure inference-time gain — "
+                         "spectral shape is untouched.")
     ap.add_argument("--out", default="generated")
     ap.add_argument("--report", action="store_true",
                     help="also write a listenable HTML report")
@@ -197,6 +204,16 @@ def main() -> None:
     audio_s = wav.shape[0] * wav.shape[1] / cfg.frontend.sample_rate
     print(f"generated {wav.shape} ({audio_s:.2f}s audio): compile {compile_s:.1f}s,"
           f" steady-state {run_s * 1e3:.1f} ms -> RTF {audio_s / run_s:.0f}x")
+
+    if args.target_rms > 0:
+        rms = np.sqrt(np.mean(np.square(np.asarray(wav)), axis=1,
+                              keepdims=True))
+        # Cap the boost at 100x: near-silent clips (e.g. random weights)
+        # carry no signal worth amplifying into the clip ceiling.
+        gains = np.minimum(args.target_rms / np.maximum(rms, 1e-12), 100.0)
+        wav = np.clip(np.asarray(wav) * gains, -1.0, 1.0)
+        print(f"gain calibration: per-clip x{np.min(gains):.2f}-"
+              f"x{np.max(gains):.2f} -> RMS {args.target_rms}")
 
     outdir = Path(args.out)
     outdir.mkdir(parents=True, exist_ok=True)
