@@ -30,6 +30,7 @@ import functools
 import json
 import os
 import sys
+import threading
 import time
 
 import jax
@@ -39,6 +40,51 @@ from jax import lax
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# Backend acquisition must survive the environment's #1 hazard: the axon
+# TPU tunnel stalling or refusing init (round 3's driver bench died with
+# rc=1 on a single unguarded jax.devices() call — VERDICT round 3, item 1).
+# Two failure modes, both handled:
+#   * jax.devices() RAISES (UNAVAILABLE) — jax caches the failed backend,
+#     so an in-process retry is useless; re-exec a FRESH process (fresh
+#     dial, per the tunnel-stall recovery protocol) after a backoff.
+#   * jax.devices() HANGS (tunnel stall mid-RPC) — a watchdog thread
+#     deadline converts the hang into a retry; execv destroys the stuck
+#     thread along with the rest of the process image.
+_BENCH_ATTEMPTS = 10
+_BENCH_BACKOFF_S = 60
+_BENCH_INIT_DEADLINE_S = 240
+
+
+def acquire_device():
+    attempt = int(os.environ.get("MSYNTH_BENCH_ATTEMPT", "0"))
+    box: dict = {}
+
+    def _probe():
+        try:
+            box["dev"] = jax.devices()[0]
+        except Exception as e:  # noqa: BLE001 — any init error retries
+            box["err"] = e
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(_BENCH_INIT_DEADLINE_S)
+    if "dev" in box:
+        return box["dev"]
+    err = box.get("err", TimeoutError(
+        f"jax.devices() hung > {_BENCH_INIT_DEADLINE_S}s (tunnel stall?)"))
+    if attempt + 1 >= _BENCH_ATTEMPTS:
+        log(f"backend init failed on final attempt "
+            f"{attempt + 1}/{_BENCH_ATTEMPTS}: {err!r}")
+        raise err if isinstance(err, BaseException) else RuntimeError(err)
+    log(f"backend init failed (attempt {attempt + 1}/{_BENCH_ATTEMPTS}): "
+        f"{err!r}; retrying in {_BENCH_BACKOFF_S}s with a fresh process")
+    time.sleep(_BENCH_BACKOFF_S)
+    os.environ["MSYNTH_BENCH_ATTEMPT"] = str(attempt + 1)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def bench_stage2_step(results: dict, variants: dict | None = None,
@@ -152,10 +198,16 @@ def bench_stage2_step(results: dict, variants: dict | None = None,
             )
             log(f"[{name}] XLA-estimated {flops / 1e9:.1f} GFLOP/step "
                 f"(executed) -> {flops / best / 1e12:.1f} TFLOP/s sustained")
-            if cfg.msd.dense_groups_max_g:
+            if cfg.msd.dense_groups_max_g or cfg.mrd.f_fold:
+                # The logical twin excludes BOTH padding relayouts: the
+                # dense-groups block-diagonal MSD kernels AND the MRD
+                # F-fold (whose folded kernels also execute padded FLOPs)
+                # — advisor round 3: zeroing only the former understates
+                # the inflation factor.
                 twin = dataclasses.replace(
-                    cfg, msd=dataclasses.replace(
-                        cfg.msd, dense_groups_max_g=0))
+                    cfg,
+                    msd=dataclasses.replace(cfg.msd, dense_groups_max_g=0),
+                    mrd=dataclasses.replace(cfg.mrd, f_fold=0))
 
                 @functools.partial(jax.jit, static_argnums=0)
                 def many_twin(n: int, st, loop_key, _cfg=twin):
@@ -212,7 +264,7 @@ def main() -> None:
     # round-3 training attempts collapsed (docs/DESIGN.md §13), so its
     # RTF is reported separately as untrained architectural headroom.
     cfg = E2E_INFERENCE
-    dev = jax.devices()[0]
+    dev = acquire_device()
     log(f"device: {dev.platform} / {dev.device_kind}")
 
     seed = int.from_bytes(os.urandom(4), "little")
@@ -303,9 +355,20 @@ def main() -> None:
 
     run_wf(1, 0)
     run_wf(n_iters, 0)
-    wf_best = min(
-        (run_wf(n_iters, r) - run_wf(1, r)) / (n_iters - 1) for r in (1, 2)
-    )
+    # Same per>0 noise filter as the headline loop: a dispatch-noise-
+    # dominated pair can yield a negative delta, which must never become
+    # a negative RTF in BENCH_FULL.json (advisor round 3).
+    wf_per = []
+    for r in (1, 2):
+        t1 = run_wf(1, r)
+        tn = run_wf(n_iters, r)
+        per = (tn - t1) / (n_iters - 1)
+        if per > 0:
+            wf_per.append(per)
+        log(f"istft run {r}: n=1 {t1 * 1e3:.1f} ms, n={n_iters} "
+            f"{tn * 1e3:.1f} ms -> {per * 1e3:.3f} ms/call")
+    assert wf_per, "istft timing runs were all noise-dominated"
+    wf_best = min(wf_per)
     wf_rtf = audio_sec_per_call / wf_best
     log(f"istft-head preset (untrained headroom): {wf_best * 1e3:.2f} "
         f"ms/call -> RTF {wf_rtf:.0f}x")

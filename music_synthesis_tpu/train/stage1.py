@@ -125,11 +125,15 @@ def train_step_impl(
     fake_sg = jax.lax.stop_gradient(fake)
 
     # Instance noise (see TrainConfig.d_input_noise). Fresh draws per step;
-    # per-device decorrelation comes from rng already being decorrelated.
+    # state.rng is replicated under shard_map, so the noise key must fold
+    # in the axis index itself (mirrors stage2.py) — each device then adds
+    # an independent noise realization to its batch shard.
     # Optional linear decay traced on state.step (one compiled program).
     d_real_in, d_fake_in, d_fake_g_in = real_mel, fake_sg, None
     if t.d_input_noise > 0:
         rng, nk = jax.random.split(rng)
+        if axis_name:
+            nk = jax.random.fold_in(nk, jax.lax.axis_index(axis_name))
         k1, k2, k3 = jax.random.split(nk, 3)
         s_ = jnp.asarray(t.d_input_noise, real_mel.dtype)
         if t.d_noise_decay_steps > 0:

@@ -174,6 +174,12 @@ def main() -> None:
         # Long-form composition: N crossfaded latent patches, one program.
         from music_synthesis_tpu.infer.generate import generate_long
 
+        if args.crossfade_frames >= cfg.specgan.n_frames:
+            raise SystemExit(
+                f"--crossfade-frames ({args.crossfade_frames}) must be < "
+                f"the stage-1 patch length ({cfg.specgan.n_frames} frames); "
+                f"a crossfade spanning the whole patch leaves no new "
+                f"content per patch.")
         hop_t = cfg.specgan.n_frames - args.crossfade_frames
         frames = int(args.seconds * cfg.frontend.sample_rate
                      / cfg.frontend.hop_length)
