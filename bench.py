@@ -251,6 +251,153 @@ def bench_stage2_step(results: dict, variants: dict | None = None,
             log(f"[{name}] cost_analysis unavailable: {e}")
 
 
+def bench_frontend_cpu_clip(results: dict, n_iters: int = 9,
+                            seconds: float = 30.0) -> None:
+    """BASELINE config 1: log-mel extraction of one 22.05 kHz clip on CPU.
+
+    Runs the pure-JAX oracle front-end on the host CPU backend (the config
+    says CPU explicitly); timing is plain wall-clock around
+    block_until_ready — there is no dispatch tunnel on the CPU path.
+    """
+    from music_synthesis_tpu.config import PipelineConfig
+    from music_synthesis_tpu.ops import frontend
+
+    fcfg = PipelineConfig().frontend
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        n = int(seconds * fcfg.sample_rate)
+        wav = 0.1 * jnp.sin(
+            2 * jnp.pi * 440.0 * jnp.arange(n, dtype=jnp.float32)
+            / fcfg.sample_rate)[None, :]
+        fn = jax.jit(functools.partial(frontend.log_mel, cfg=fcfg))
+        out = jax.block_until_ready(fn(wav))  # compile
+        assert bool(jnp.isfinite(out).all())
+        times = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(wav))
+            times.append(time.perf_counter() - t0)
+    best = min(times)
+    results["frontend_cpu_clip_ms"] = round(best * 1e3, 2)
+    results["frontend_cpu_clip_x_realtime"] = round(seconds / best, 1)
+    log(f"[frontend_cpu_clip] {seconds:.0f}s clip -> {best * 1e3:.2f} ms "
+        f"({seconds / best:.0f}x realtime on host CPU)")
+
+
+def bench_stage1_fwd_loss(results: dict, n_iters: int = 101) -> None:
+    """BASELINE config 2: stage-1 generator forward + hinge losses on one
+    batch. Device-loop methodology (fresh latents per scan iteration,
+    scalar checksum out, n=1 dispatch overhead subtracted)."""
+    from music_synthesis_tpu.config import PipelineConfig
+    from music_synthesis_tpu.train import stage1
+
+    cfg = PipelineConfig()
+    b = cfg.train.batch_size
+    state = stage1.make_train_state(cfg, jax.random.PRNGKey(0))
+    real = jax.random.uniform(
+        jax.random.PRNGKey(1), (b, cfg.specgan.n_frames, cfg.specgan.n_mels),
+        minval=-1.0, maxval=1.0)
+    seed = int.from_bytes(os.urandom(4), "little")
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def many(n: int, st, rm, loop_key):
+        def body(carry, i):
+            z = jax.random.normal(
+                jax.random.fold_in(loop_key, i),
+                (b, cfg.specgan.latent_dim))
+            m = stage1.forward_and_loss(cfg, st, rm, z)
+            return carry + m["d_loss"] + m["g_loss"], None
+
+        total, _ = lax.scan(body, jnp.float32(0), jnp.arange(n))
+        return total
+
+    def run(n: int, r: int) -> float:
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 31 * n + r)
+        t0 = time.perf_counter()
+        v = float(many(n, state, real, key))
+        assert jnp.isfinite(v)
+        return time.perf_counter() - t0
+
+    run(1, 0)
+    run(n_iters, 0)
+    per = []
+    for r in range(1, 4):
+        t1 = run(1, r)
+        tn = run(n_iters, r)
+        d = (tn - t1) / (n_iters - 1)
+        if d > 0:
+            per.append(d)
+        log(f"[stage1_fwd_loss] run {r}: n=1 {t1 * 1e3:.1f} ms, "
+            f"n={n_iters} {tn * 1e3:.1f} ms -> {d * 1e3:.3f} ms")
+    assert per, "stage1 fwd+loss timing noise-dominated"
+    results["stage1_fwd_loss_ms"] = round(min(per) * 1e3, 3)
+    log(f"[stage1_fwd_loss] best {min(per) * 1e3:.3f} ms/batch{b}")
+
+
+def bench_frontend_ab(results: dict, n_iters: int = 101) -> None:
+    """Fused Pallas front-end vs the pure-JAX oracle, on-device, at the
+    stage-2 training batch shape [16, 8192] (VERDICT r3 weak #5: the
+    framework's signature claim needs one committed A/B number).
+
+    Skipped automatically on CPU (the compiled Mosaic kernel is TPU-only;
+    interpret mode would not be a performance statement).
+    """
+    if jax.devices()[0].platform == "cpu":
+        log("[frontend_ab] skipped on CPU (no compiled Mosaic kernel)")
+        return
+    from music_synthesis_tpu.config import PipelineConfig
+    from music_synthesis_tpu.ops import frontend as fe
+    from music_synthesis_tpu.ops import pallas_frontend as pfe
+
+    cfg = PipelineConfig()
+    b, seg = cfg.train.batch_size, cfg.train.segment_length
+    seed = int.from_bytes(os.urandom(4), "little")
+
+    def make_many(f):
+        @functools.partial(jax.jit, static_argnums=0)
+        def many(n: int, loop_key):
+            def body(carry, i):
+                wav = 0.5 * jnp.tanh(jax.random.normal(
+                    jax.random.fold_in(loop_key, i), (b, seg)))
+                return carry + jnp.sum(f(wav)), None
+
+            total, _ = lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return total
+
+        return many
+
+    for name, f in (
+        ("frontend_pallas_ms",
+         lambda w: pfe.pallas_log_mel_for_vocoder(w, cfg.frontend)),
+        ("frontend_oracle_ms",
+         lambda w: fe.log_mel_for_vocoder(w, cfg.frontend)),
+    ):
+        many = make_many(f)
+
+        def run(n: int, r: int) -> float:
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), 13 * n + r)
+            t0 = time.perf_counter()
+            v = float(many(n, key))
+            assert jnp.isfinite(v)
+            return time.perf_counter() - t0
+
+        run(1, 0)
+        run(n_iters, 0)
+        per = []
+        for r in range(1, 4):
+            d = (run(n_iters, r) - run(1, r)) / (n_iters - 1)
+            if d > 0:
+                per.append(d)
+        assert per, f"{name} timing noise-dominated"
+        results[name] = round(min(per) * 1e3, 3)
+        log(f"[{name}] best {min(per) * 1e3:.3f} ms at [{b},{seg}]")
+    if results.get("frontend_oracle_ms") and results.get("frontend_pallas_ms"):
+        results["frontend_pallas_speedup"] = round(
+            results["frontend_oracle_ms"] / results["frontend_pallas_ms"], 3)
+        log(f"[frontend_ab] pallas speedup vs XLA-fused oracle: "
+            f"{results['frontend_pallas_speedup']}x")
+
+
 def main() -> None:
     from music_synthesis_tpu.config import E2E_INFERENCE, E2E_INFERENCE_FAST
     from music_synthesis_tpu.infer.generate import generate
@@ -379,6 +526,14 @@ def main() -> None:
             wf_rtf, 1),
     }
     bench_stage2_step(results)
+    # The remaining BASELINE scenarios + the Pallas A/B are best-effort:
+    # never let them cost the headline artifact.
+    for extra in (bench_stage1_fwd_loss, bench_frontend_cpu_clip,
+                  bench_frontend_ab):
+        try:
+            extra(results)
+        except Exception as e:  # noqa: BLE001
+            log(f"[{extra.__name__}] failed (non-fatal): {e!r}")
     with open(os.path.join(os.path.dirname(__file__) or ".",
                            "BENCH_FULL.json"), "w") as f:
         json.dump(results, f, indent=1)
