@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--variants", default="0,16,64,256",
                     help="comma list of dense_groups_max_g values")
     ap.add_argument("--concat", choices=["on", "off", "both"], default="both")
+    ap.add_argument("--f-fold", type=int, default=0,
+                    help="MRD F-fold factor (4 = production fast recipe)")
     ap.add_argument("--iters", type=int, default=11)
     args = ap.parse_args()
 
@@ -41,7 +43,8 @@ def main() -> None:
     fast = dataclasses.replace(
         base,
         msd=dataclasses.replace(base.msd, compute_dtype="bfloat16"),
-        mrd=dataclasses.replace(base.mrd, compute_dtype="bfloat16"),
+        mrd=dataclasses.replace(base.mrd, compute_dtype="bfloat16",
+                                f_fold=args.f_fold),
         vocoder=dataclasses.replace(base.vocoder, compute_dtype="bfloat16"),
         train=dataclasses.replace(base.train, reuse_real_features=True),
     )
@@ -80,14 +83,18 @@ def main() -> None:
                 assert jnp.isfinite(v), "non-finite loss"
                 return dt
 
-            name = f"dg{dg}_{'concat' if cc else 'split'}"
+            name = (f"dg{dg}_ff{args.f_fold}_"
+                    f"{'concat' if cc else 'split'}")
             t0 = time.perf_counter()
             run(1, 0); run(args.iters, 0)
             compile_s = time.perf_counter() - t0
             per = []
             for r in (1, 2, 3):
-                per.append((run(args.iters, r) - run(1, r))
-                           / (args.iters - 1))
+                d = (run(args.iters, r) - run(1, r)) / (args.iters - 1)
+                # Same per>0 dispatch-noise guard as bench.py.
+                if d > 0:
+                    per.append(d)
+            assert per, f"{name}: all timing runs noise-dominated"
             ms = min(per) * 1e3
             results[name] = round(ms, 2)
             print(f"{name}: {ms:.2f} ms/step (compile+warm {compile_s:.0f}s, "
