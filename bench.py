@@ -77,7 +77,12 @@ def acquire_device():
     if attempt + 1 >= _BENCH_ATTEMPTS:
         log(f"backend init failed on final attempt "
             f"{attempt + 1}/{_BENCH_ATTEMPTS}: {err!r}")
-        raise err if isinstance(err, BaseException) else RuntimeError(err)
+        # Hard exit: a failed axon init can leave non-daemon threads alive,
+        # so a plain raise would HANG the process at interpreter shutdown
+        # and the driver would never see the rc. os._exit guarantees rc=1.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(1)
     log(f"backend init failed (attempt {attempt + 1}/{_BENCH_ATTEMPTS}): "
         f"{err!r}; retrying in {_BENCH_BACKOFF_S}s with a fresh process")
     time.sleep(_BENCH_BACKOFF_S)
