@@ -1,0 +1,95 @@
+"""Regression tests for bench.py's backend-acquisition hardening.
+
+Round 3 lost its driver-verified perf number to a single unguarded
+``jax.devices()`` call (BENCH_r03.json rc=1). These tests pin the retry
+contract: raising backends re-exec a fresh process with a bumped attempt
+counter, hangs are converted to retries by the watchdog, and the final
+attempt exits rc=1 (hard exit — a plain raise would hang interpreter
+shutdown when axon leaves non-daemon threads behind).
+
+Each scenario runs in a subprocess so the monkeypatching (and os._exit)
+cannot leak into the test session.
+"""
+
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+
+def _run(body: str) -> subprocess.CompletedProcess:
+    code = textwrap.dedent(f"""
+        import os, sys
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, {REPO!r})
+        import bench
+        {textwrap.indent(textwrap.dedent(body), '        ').strip()}
+    """)
+    return subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180,
+    )
+
+
+def test_raise_schedules_fresh_process_retry():
+    r = _run("""
+        calls = {}
+        bench.time.sleep = lambda s: calls.setdefault("slept", s)
+        def fake_execv(exe, argv):
+            print("EXECV attempt=" + os.environ["MSYNTH_BENCH_ATTEMPT"],
+                  "slept=" + str(calls["slept"]))
+            os._exit(0)
+        os.execv = fake_execv
+        bench.jax.devices = lambda *a: (_ for _ in ()).throw(
+            RuntimeError("UNAVAILABLE: tunnel"))
+        os.environ.pop("MSYNTH_BENCH_ATTEMPT", None)
+        bench.acquire_device()
+    """)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "EXECV attempt=1 slept=60" in r.stdout
+    assert "UNAVAILABLE" in r.stderr
+
+
+def test_hang_is_converted_to_retry_by_watchdog():
+    r = _run("""
+        import threading
+        bench._BENCH_INIT_DEADLINE_S = 0.5
+        bench.time.sleep = lambda s: None
+        def fake_execv(exe, argv):
+            print("EXECV_ON_HANG")
+            os._exit(0)
+        os.execv = fake_execv
+        ev = threading.Event()
+        bench.jax.devices = lambda *a: ev.wait(300)  # hang past deadline
+        os.environ.pop("MSYNTH_BENCH_ATTEMPT", None)
+        bench.acquire_device()
+    """)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "EXECV_ON_HANG" in r.stdout
+    assert "tunnel stall" in r.stderr
+
+
+def test_final_attempt_hard_exits_rc1():
+    r = _run("""
+        bench.jax.devices = lambda *a: (_ for _ in ()).throw(
+            RuntimeError("UNAVAILABLE: tunnel"))
+        os.environ["MSYNTH_BENCH_ATTEMPT"] = str(bench._BENCH_ATTEMPTS - 1)
+        bench.acquire_device()
+        print("NOT REACHED")
+    """)
+    assert r.returncode == 1
+    assert "final attempt" in r.stderr
+    assert "NOT REACHED" not in r.stdout
+
+
+def test_healthy_backend_returns_device():
+    r = _run("""
+        os.environ.pop("MSYNTH_BENCH_ATTEMPT", None)
+        dev = bench.acquire_device()
+        print("PLATFORM=" + dev.platform)
+    """)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PLATFORM=cpu" in r.stdout
