@@ -119,6 +119,44 @@ def test_stage2_trains_with_istft_head():
     assert float(m["g_grad_norm"]) > 0
 
 
+def test_stage2_istft_stabilized_production_combo():
+    """The round-4 stabilized iSTFT recipe — istft head + G-warmup + R1 +
+    decaying instance noise + dense-groups/F-fold relayouts + concat-D —
+    compiles as ONE jitted step and trains finite (the exact flag set of
+    runs/stage2_istft_stab_50k, smoke-validated on CPU 2026-08-18)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY,
+        vocoder=dataclasses.replace(
+            TINY.vocoder, head="istft", upsample_factors=(8, 8),
+            istft_n_fft=16, istft_hop=4,
+        ),
+        msd=dataclasses.replace(TINY.msd, dense_groups_max_g=64),
+        mrd=dataclasses.replace(TINY.mrd, f_fold=4),
+        train=dataclasses.replace(
+            TINY.train,
+            g_warmup_steps=2, r1_gamma=1.0,
+            d_input_noise=0.1, d_noise_decay_steps=4,
+            reuse_real_features=True, concat_disc_batch=True,
+            ema_decay=0.999, lambda_stft=10.0,
+        ),
+    )
+    state = stage2.make_train_state(cfg, KEY)
+    wav = _wav_batch(jax.random.PRNGKey(6), cfg)
+    seen_d_frozen = seen_d_live = False
+    for _ in range(4):
+        state, m = stage2.train_step(cfg, state, wav)
+        assert all(np.isfinite(float(v)) for v in m.values()), m
+        if float(m["d_update_norm"]) == 0.0:
+            seen_d_frozen = True
+        else:
+            seen_d_live = True
+    # Warmup must actually freeze D for the first 2 steps, then release it.
+    assert seen_d_frozen and seen_d_live
+    assert float(m["d_r1"]) >= 0.0
+
+
 def test_grad_clip_norm_knob():
     """grad_clip_norm > 0 bounds the applied update's source grad norm."""
     import dataclasses
