@@ -1,0 +1,333 @@
+"""Production synthesis serving (SURVEY.md §1 L5 deployment surface).
+
+The reference exposes trained models only through notebooks; a production
+deployment needs a long-lived server that keeps the XLA programs compiled
+and the weights resident on device. This module is that server, built
+TPU-first:
+
+- **Static-shape buckets.** Requests ask for arbitrary ``seconds``; the
+  server maps each request onto a precompiled ``generate_long`` program
+  keyed by (batch bucket, patch bucket) and trims host-side. No request
+  shape ever triggers a recompile in steady state — the cardinal rule for
+  serving on XLA devices.
+- **Warm start.** All configured buckets compile and execute once at
+  startup, so the first user request pays device-step latency, not a
+  20-40 s XLA compile.
+- **One device stream.** Dispatch is serialized behind a lock: one chip,
+  one client, predictable queueing (the same one-client discipline the
+  training stack uses for the TPU tunnel).
+- **Self-describing models.** Weights come from the zoo (``zoo.py``):
+  the card's model config, front-end and MelScaler override the base
+  pipeline config, so the served program is exactly the trained system.
+
+Transport is stdlib ``http.server`` (no third-party web stack in this
+environment): ``GET /healthz``, ``GET /models``, ``GET /metrics``,
+``POST /generate`` -> ``audio/wav`` bytes.
+
+Usage (see scripts/serve.py for the CLI):
+
+    svc = SynthService(ServeConfig(composer="specgan_rich",
+                                   vocoder="vocoder_rich"))
+    httpd = make_server(svc, port=8000)
+    httpd.serve_forever()
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_synthesis_tpu import zoo
+from music_synthesis_tpu.config import E2E_INFERENCE, PipelineConfig
+from music_synthesis_tpu.infer.generate import generate_long
+from music_synthesis_tpu.utils.wav import write_wav
+
+__all__ = ["ServeConfig", "SynthService", "make_server"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    """Serving deployment knobs (model selection + compiled-shape budget)."""
+
+    composer: str = "specgan_rich"      # zoo entry name or dir (specgan)
+    vocoder: str = "vocoder_rich"       # zoo entry name or dir (vocoder)
+    zoo_root: str | None = None         # default: repo zoo/
+    # Precompiled shape grid. Every (batch, patches) request is padded up
+    # to the nearest bucket; larger asks are clamped to the max bucket.
+    batch_buckets: tuple[int, ...] = (1, 4)
+    patch_buckets: tuple[int, ...] = (1, 2, 4, 8)
+    crossfade_frames: int = 8
+    # Default loudness calibration (DESIGN.md §13: the trained vocoder
+    # renders quieter than real; 0.1 RMS is a listenable level). Requests
+    # can override per call; 0 disables.
+    target_rms: float = 0.1
+    max_clips_per_request: int = 16
+
+
+def _load_entry(name: str, kind: str, root) -> zoo.PretrainedEntry:
+    e = zoo.load_pretrained(name, **({"root": root} if root else {}))
+    if e.kind != kind:
+        raise ValueError(f"zoo entry {name!r} is a {e.kind}, need {kind}")
+    return e
+
+
+class SynthService:
+    """Loads zoo models, compiles the bucket grid, serves synthesis calls."""
+
+    def __init__(
+        self,
+        serve_cfg: ServeConfig = ServeConfig(),
+        base_cfg: PipelineConfig = E2E_INFERENCE,
+        warmup: bool = True,
+    ):
+        self.serve_cfg = serve_cfg
+        root = serve_cfg.zoo_root
+        self._composer = _load_entry(serve_cfg.composer, "specgan", root)
+        self._vocoder = _load_entry(serve_cfg.vocoder, "vocoder", root)
+
+        cfg = dataclasses.replace(
+            base_cfg,
+            specgan=self._composer.config,
+            vocoder=self._vocoder.config,
+        )
+        # Conditioning must reproduce the training-time normalization
+        # (round-2 advisor finding on scripts/generate.py): the vocoder
+        # card's scaler/front-end win; the composer was trained in the
+        # same normalized space.
+        for e in (self._composer, self._vocoder):
+            if e.mel_scaler is not None:
+                cfg = dataclasses.replace(cfg, mel_scaler=e.mel_scaler)
+            if e.frontend is not None:
+                cfg = dataclasses.replace(cfg, frontend=e.frontend)
+        if serve_cfg.crossfade_frames >= cfg.specgan.n_frames:
+            raise ValueError(
+                f"crossfade_frames ({serve_cfg.crossfade_frames}) must be < "
+                f"specgan.n_frames ({cfg.specgan.n_frames})")
+        self.cfg = cfg
+
+        self._fn = jax.jit(generate_long, static_argnums=(0, 4))
+        self._dispatch = threading.Lock()
+        self._m_lock = threading.Lock()
+        self._requests = 0
+        self._errors = 0
+        self._latencies: list[float] = []  # seconds, last 512 kept
+        self._warm: list[tuple[int, int]] = []
+        if warmup:
+            self.warm_all()
+
+    # -- shape bucketing ---------------------------------------------------
+
+    def out_samples(self, n_patches: int) -> int:
+        """Exact output length of the (.., n_patches) program in samples."""
+        c = self.cfg
+        t = c.specgan.n_frames
+        cf = self.serve_cfg.crossfade_frames
+        t_long = n_patches * (t - cf) + cf
+        usable = t_long - (t_long - c.infer.chunk_frames) % c.infer.hop_frames
+        return usable * c.vocoder.hop_length
+
+    def patches_for_seconds(self, seconds: float) -> int:
+        """Smallest patch bucket whose output covers ``seconds`` (clamped
+        to the largest bucket)."""
+        want = int(round(seconds * self.cfg.frontend.sample_rate))
+        for n in sorted(self.serve_cfg.patch_buckets):
+            if self.out_samples(n) >= want:
+                return n
+        return max(self.serve_cfg.patch_buckets)
+
+    def batch_bucket(self, n_clips: int) -> int:
+        for b in sorted(self.serve_cfg.batch_buckets):
+            if b >= n_clips:
+                return b
+        return max(self.serve_cfg.batch_buckets)
+
+    # -- synthesis ---------------------------------------------------------
+
+    def _run(self, b: int, n: int, z: jax.Array) -> jax.Array:
+        with self._dispatch:
+            wav = self._fn(
+                self.cfg, self._composer.params, self._vocoder.params, z,
+                self.serve_cfg.crossfade_frames,
+            )
+            wav.block_until_ready()
+        return wav
+
+    def warm_all(self) -> list[tuple[int, int]]:
+        """Compile + execute every configured (batch, patches) bucket."""
+        key = jax.random.PRNGKey(0)
+        for b in self.serve_cfg.batch_buckets:
+            for n in self.serve_cfg.patch_buckets:
+                z = jax.random.normal(
+                    key, (b, n, self.cfg.specgan.latent_dim))
+                self._run(b, n, z)
+                self._warm.append((b, n))
+        return list(self._warm)
+
+    def synth(
+        self,
+        seconds: float,
+        seed: int = 0,
+        n_clips: int = 1,
+        target_rms: float | None = None,
+    ) -> tuple[np.ndarray, dict]:
+        """Generate ``n_clips`` clips of ``seconds`` audio.
+
+        Returns ``(wav [n_clips, samples] float32, meta dict)``. The device
+        program runs at the padded bucket shape; padding clips and excess
+        samples are trimmed on the host.
+        """
+        sc = self.serve_cfg
+        if not (0 < n_clips <= sc.max_clips_per_request):
+            raise ValueError(
+                f"n_clips must be in [1, {sc.max_clips_per_request}]")
+        if seconds <= 0:
+            raise ValueError("seconds must be > 0")
+        n = self.patches_for_seconds(seconds)
+        b = self.batch_bucket(n_clips)
+        want = min(int(round(seconds * self.cfg.frontend.sample_rate)),
+                   self.out_samples(n))
+
+        t0 = time.perf_counter()
+        z = jax.random.normal(
+            jax.random.PRNGKey(seed), (b, n, self.cfg.specgan.latent_dim))
+        wav = np.asarray(self._run(b, n, z))[:n_clips, :want]
+        rms_target = sc.target_rms if target_rms is None else target_rms
+        if rms_target > 0:
+            rms = np.sqrt(np.mean(np.square(wav), axis=-1, keepdims=True))
+            wav = np.clip(wav * (rms_target / np.maximum(rms, 1e-8)),
+                          -1.0, 1.0)
+        dt = time.perf_counter() - t0
+
+        with self._m_lock:
+            self._requests += 1
+            self._latencies = (self._latencies + [dt])[-512:]
+        meta = {
+            "seed": seed,
+            "patches": n,
+            "batch_bucket": b,
+            "n_clips": n_clips,
+            "samples": int(want),
+            "sample_rate": self.cfg.frontend.sample_rate,
+            "gen_ms": round(dt * 1e3, 3),
+            "rtf": round((want * n_clips / self.cfg.frontend.sample_rate)
+                         / max(dt, 1e-9), 1),
+        }
+        return wav.astype(np.float32), meta
+
+    # -- introspection -----------------------------------------------------
+
+    def health(self) -> dict:
+        dev = jax.devices()[0]
+        return {
+            "status": "ok",
+            "device": f"{dev.platform}/{dev.device_kind}",
+            "warm_buckets": self._warm,
+            "composer": self._composer.name,
+            "vocoder": self._vocoder.name,
+        }
+
+    def models(self) -> dict:
+        return {
+            "composer": self._composer.card,
+            "vocoder": self._vocoder.card,
+        }
+
+    def metrics(self) -> dict:
+        with self._m_lock:
+            lat = sorted(self._latencies)
+            n = len(lat)
+            return {
+                "requests": self._requests,
+                "errors": self._errors,
+                "latency_p50_ms": round(lat[n // 2] * 1e3, 3) if n else None,
+                "latency_p95_ms": (
+                    round(lat[min(n - 1, int(n * 0.95))] * 1e3, 3)
+                    if n else None),
+            }
+
+    def count_error(self) -> None:
+        with self._m_lock:
+            self._errors += 1
+
+
+def wav_bytes(sample_rate: int, wav: np.ndarray) -> bytes:
+    """Multi-clip [N, L] -> one 16-bit PCM WAV payload (clips concatenated)."""
+    buf = io.BytesIO()
+    write_wav(buf, sample_rate, np.concatenate(list(wav), axis=-1))
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # service is attached to the server object by make_server().
+
+    def _svc(self) -> SynthService:
+        return self.server.service  # type: ignore[attr-defined]
+
+    def _send_json(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        svc = self._svc()
+        routes = {
+            "/healthz": svc.health,
+            "/models": svc.models,
+            "/metrics": svc.metrics,
+        }
+        fn = routes.get(self.path)
+        if fn is None:
+            self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        self._send_json(200, fn())
+
+    def do_POST(self):  # noqa: N802
+        svc = self._svc()
+        if self.path != "/generate":
+            self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            wav, meta = svc.synth(
+                seconds=float(req.get("seconds", 4.0)),
+                seed=int(req.get("seed", 0)),
+                n_clips=int(req.get("n_clips", 1)),
+                target_rms=(float(req["target_rms"])
+                            if "target_rms" in req else None),
+            )
+        except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+            svc.count_error()
+            self._send_json(400, {"error": str(e)})
+            return
+        body = wav_bytes(meta["sample_rate"], wav)
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-Msynth-Meta", json.dumps(meta))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def make_server(
+    service: SynthService, host: str = "127.0.0.1", port: int = 8000
+) -> ThreadingHTTPServer:
+    """HTTP front for a SynthService. Threaded accept loop; device dispatch
+    itself is serialized inside the service."""
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    httpd.service = service  # type: ignore[attr-defined]
+    return httpd

@@ -1,0 +1,170 @@
+"""Serving layer tests (serve.py): bucketing math, synthesis, HTTP API."""
+
+import http.client
+import io
+import json
+import threading
+
+import jax
+import numpy as np
+import pytest
+import scipy.io.wavfile
+
+from music_synthesis_tpu.config import TINY
+from music_synthesis_tpu.models.specgan import SpectrogramGenerator
+from music_synthesis_tpu.models.vocoder import Vocoder
+from music_synthesis_tpu.serve import (
+    ServeConfig,
+    SynthService,
+    make_server,
+    wav_bytes,
+)
+from music_synthesis_tpu import zoo
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def tiny_zoo(tmp_path_factory):
+    """Random-init TINY composer + vocoder saved as real zoo entries."""
+    root = tmp_path_factory.mktemp("zoo")
+
+    def jitter(params):
+        # Random init zeroes the output conv (near-silent audio) and barely
+        # propagates the latent; 0.5-scale jitter on every leaf gives the
+        # served model non-degenerate level AND real seed sensitivity.
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(KEY, len(leaves))
+        return jax.tree.unflatten(treedef, [
+            x + 0.5 * jax.random.normal(k, x.shape)
+            for x, k in zip(leaves, keys)])
+
+    z0 = jax.numpy.zeros((1, TINY.specgan.latent_dim))
+    sg = jitter(SpectrogramGenerator(TINY.specgan).init(KEY, z0)["params"])
+    zoo.save_pretrained(
+        "composer_t", "specgan", sg, TINY.specgan,
+        frontend=TINY.frontend, mel_scaler=TINY.mel_scaler, root=root)
+    m0 = jax.numpy.zeros((1, 8, TINY.vocoder.n_mels))
+    vp = jitter(Vocoder(TINY.vocoder).init(KEY, m0)["params"])
+    zoo.save_pretrained(
+        "vocoder_t", "vocoder", vp, TINY.vocoder,
+        frontend=TINY.frontend, mel_scaler=TINY.mel_scaler, root=root)
+    return root
+
+
+@pytest.fixture(scope="module")
+def service(tiny_zoo):
+    sc = ServeConfig(
+        composer="composer_t", vocoder="vocoder_t", zoo_root=str(tiny_zoo),
+        batch_buckets=(1, 2), patch_buckets=(1, 2),
+        crossfade_frames=4, target_rms=0.1, max_clips_per_request=4,
+    )
+    return SynthService(sc, base_cfg=TINY, warmup=True)
+
+
+def test_bucket_math(service):
+    # out_samples strictly increases with patch count.
+    assert service.out_samples(2) > service.out_samples(1)
+    sr = service.cfg.frontend.sample_rate
+    # A request the 1-patch program covers picks bucket 1.
+    small = service.out_samples(1) / sr * 0.5
+    assert service.patches_for_seconds(small) == 1
+    # A request between buckets rounds up; beyond the max it clamps.
+    mid = service.out_samples(1) / sr * 1.5
+    assert service.patches_for_seconds(mid) == 2
+    assert service.patches_for_seconds(1e9) == 2
+    assert service.batch_bucket(1) == 1
+    assert service.batch_bucket(2) == 2
+
+
+def test_synth_shapes_gain_and_determinism(service):
+    sr = service.cfg.frontend.sample_rate
+    seconds = service.out_samples(1) / sr * 0.8
+    wav, meta = service.synth(seconds=seconds, seed=7, n_clips=2)
+    assert wav.shape == (2, meta["samples"])
+    assert meta["samples"] == int(round(seconds * sr))
+    assert np.isfinite(wav).all()
+    # Default target_rms=0.1 calibration applies per clip.
+    rms = np.sqrt(np.mean(np.square(wav), axis=-1))
+    np.testing.assert_allclose(rms, 0.1, rtol=1e-3)
+    # Same seed -> same audio; different seed -> different audio.
+    wav2, _ = service.synth(seconds=seconds, seed=7, n_clips=2)
+    np.testing.assert_array_equal(wav, wav2)
+    wav3, _ = service.synth(seconds=seconds, seed=8, n_clips=2)
+    assert not np.array_equal(wav, wav3)
+    # Raw level when calibration is disabled.
+    raw, _ = service.synth(seconds=seconds, seed=7, n_clips=1, target_rms=0.0)
+    assert not np.allclose(
+        np.sqrt(np.mean(np.square(raw))), 0.1, rtol=1e-3)
+
+
+def test_synth_validates(service):
+    with pytest.raises(ValueError):
+        service.synth(seconds=-1.0)
+    with pytest.raises(ValueError):
+        service.synth(seconds=1.0, n_clips=99)
+
+
+def test_wav_bytes_roundtrip(service):
+    wav, meta = service.synth(seconds=0.1, seed=1, n_clips=2)
+    payload = wav_bytes(meta["sample_rate"], wav)
+    sr, decoded = scipy.io.wavfile.read(io.BytesIO(payload))
+    assert sr == meta["sample_rate"]
+    assert decoded.shape == (2 * meta["samples"],)
+    np.testing.assert_allclose(
+        decoded.astype(np.float32) / 32767.0,
+        np.concatenate(list(wav)), atol=1.5 / 32767.0)
+
+
+@pytest.fixture(scope="module")
+def http_server(service):
+    httpd = make_server(service, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address
+    httpd.shutdown()
+
+
+def _req(addr, method, path, body=None):
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request(method, path,
+                 body=json.dumps(body) if body is not None else None)
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r, data
+
+
+def test_http_endpoints(http_server, service):
+    r, data = _req(http_server, "GET", "/healthz")
+    assert r.status == 200
+    h = json.loads(data)
+    assert h["status"] == "ok"
+    assert [1, 1] in h["warm_buckets"] or (1, 1) in [
+        tuple(x) for x in h["warm_buckets"]]
+
+    r, data = _req(http_server, "GET", "/models")
+    assert r.status == 200
+    cards = json.loads(data)
+    assert cards["vocoder"]["kind"] == "vocoder"
+
+    sr_cfg = service.cfg.frontend.sample_rate
+    r, data = _req(http_server, "POST", "/generate",
+                   {"seconds": 0.2, "seed": 5, "n_clips": 1})
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "audio/wav"
+    meta = json.loads(r.getheader("X-Msynth-Meta"))
+    assert meta["samples"] == int(round(0.2 * sr_cfg))
+    sr, decoded = scipy.io.wavfile.read(io.BytesIO(data))
+    assert sr == sr_cfg and decoded.shape == (meta["samples"],)
+
+    # Bad request -> 400 + error counter.
+    r, data = _req(http_server, "POST", "/generate", {"seconds": -3})
+    assert r.status == 400
+    r, data = _req(http_server, "GET", "/metrics")
+    m = json.loads(data)
+    assert m["requests"] >= 1 and m["errors"] >= 1
+    assert m["latency_p50_ms"] > 0
+
+    r, _ = _req(http_server, "GET", "/nope")
+    assert r.status == 404
