@@ -70,6 +70,11 @@ class ServeConfig:
     # can override per call; 0 disables.
     target_rms: float = 0.1
     max_clips_per_request: int = 16
+    # Data-parallel serving: shard each bucket's batch axis over this many
+    # devices (params replicated — the same DP layout as training,
+    # parallel/mesh.py). 1 = single device. Every batch bucket must divide
+    # evenly over the mesh so shapes stay static per shard.
+    mesh_devices: int = 1
 
 
 def _load_entry(name: str, kind: str, root) -> zoo.PretrainedEntry:
@@ -113,7 +118,32 @@ class SynthService:
                 f"specgan.n_frames ({cfg.specgan.n_frames})")
         self.cfg = cfg
 
-        self._fn = jax.jit(generate_long, static_argnums=(0, 4))
+        if serve_cfg.mesh_devices > 1:
+            from music_synthesis_tpu.parallel.mesh import (
+                batch_sharding, make_mesh, replicated)
+
+            bad = [b for b in serve_cfg.batch_buckets
+                   if b % serve_cfg.mesh_devices]
+            if bad:
+                raise ValueError(
+                    f"batch buckets {bad} do not divide over "
+                    f"{serve_cfg.mesh_devices} mesh devices")
+            mesh = make_mesh((serve_cfg.mesh_devices,))
+            repl = replicated(mesh)
+            # Replicate weights once at startup; requests only move z.
+            self._composer = dataclasses.replace(
+                self._composer,
+                params=jax.device_put(self._composer.params, repl))
+            self._vocoder = dataclasses.replace(
+                self._vocoder,
+                params=jax.device_put(self._vocoder.params, repl))
+            self._fn = jax.jit(
+                generate_long, static_argnums=(0, 4),
+                in_shardings=(repl, repl, batch_sharding(mesh)),
+                out_shardings=batch_sharding(mesh),
+            )
+        else:
+            self._fn = jax.jit(generate_long, static_argnums=(0, 4))
         self._dispatch = threading.Lock()
         self._m_lock = threading.Lock()
         self._requests = 0
@@ -229,6 +259,7 @@ class SynthService:
         return {
             "status": "ok",
             "device": f"{dev.platform}/{dev.device_kind}",
+            "mesh_devices": self.serve_cfg.mesh_devices,
             "warm_buckets": self._warm,
             "composer": self._composer.name,
             "vocoder": self._vocoder.name,

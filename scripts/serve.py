@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--crossfade-frames", type=int, default=8)
     ap.add_argument("--target-rms", type=float, default=0.1,
                     help="default loudness calibration; 0 = raw model level")
+    ap.add_argument("--mesh", type=int, default=1,
+                    help="shard each batch bucket over N devices (DP)")
     ap.add_argument("--device", choices=["cpu", "default"], default="default")
     args = ap.parse_args()
 
@@ -46,6 +48,7 @@ def main() -> None:
         patch_buckets=tuple(int(x) for x in args.patch_buckets.split(",")),
         crossfade_frames=args.crossfade_frames,
         target_rms=args.target_rms,
+        mesh_devices=args.mesh,
     )
     print(f"loading {args.composer} + {args.vocoder}; "
           f"warming {len(sc.batch_buckets) * len(sc.patch_buckets)} "

@@ -116,6 +116,40 @@ def test_wav_bytes_roundtrip(service):
         np.concatenate(list(wav)), atol=1.5 / 32767.0)
 
 
+def test_dp_serving_matches_single_device(tiny_zoo, service):
+    """Batch sharded over the 8-device mesh == single-device audio."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    sc = ServeConfig(
+        composer="composer_t", vocoder="vocoder_t", zoo_root=str(tiny_zoo),
+        batch_buckets=(8,), patch_buckets=(1,),
+        crossfade_frames=4, target_rms=0.0, max_clips_per_request=8,
+        mesh_devices=8,
+    )
+    dp = SynthService(sc, base_cfg=TINY, warmup=False)
+    assert dp.health()["mesh_devices"] == 8
+    sr = dp.cfg.frontend.sample_rate
+    seconds = dp.out_samples(1) / sr * 0.9
+    wav_dp, meta = dp.synth(seconds=seconds, seed=11, n_clips=3,
+                            target_rms=0.0)
+    assert meta["batch_bucket"] == 8 and wav_dp.shape[0] == 3
+    # Reference: the plain single-device service, same z per clip. Its
+    # batch bucket (2) pads clip 3's slot differently but clips are batch-
+    # independent, so compare the first two.
+    wav_1, _ = service.synth(seconds=seconds, seed=11, n_clips=2,
+                             target_rms=0.0)
+    np.testing.assert_allclose(wav_dp[:2], wav_1, rtol=2e-4, atol=1e-6)
+
+
+def test_dp_serving_rejects_indivisible_buckets(tiny_zoo):
+    with pytest.raises(ValueError, match="divide"):
+        SynthService(ServeConfig(
+            composer="composer_t", vocoder="vocoder_t",
+            zoo_root=str(tiny_zoo), batch_buckets=(3,), patch_buckets=(1,),
+            crossfade_frames=4, mesh_devices=8,
+        ), base_cfg=TINY, warmup=False)
+
+
 @pytest.fixture(scope="module")
 def http_server(service):
     httpd = make_server(service, host="127.0.0.1", port=0)
