@@ -69,6 +69,9 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute in G and D")
     ap.add_argument("--auto-mel-stats", action="store_true")
+    ap.add_argument("--guard", action="store_true",
+                    help="online collapse detection (train/guard.py): stop "
+                         "early, stamp STATUS, keep checkpoints, exit 0")
     ap.add_argument("--prefetch", type=int, default=2,
                     help="host-side batch prefetch depth (0 = synchronous)")
     ap.add_argument("--ram-budget-mb", type=int, default=0)
@@ -200,6 +203,11 @@ def main() -> None:
         prep = lambda x: x
 
     logger = MetricsLogger(str(outdir / "metrics.jsonl"))
+    guard = None
+    if args.guard:
+        from music_synthesis_tpu.train.guard import CollapseGuard
+        guard = CollapseGuard()
+    guard_reason = None
     make_batch = lambda step: prep(patches(jnp.asarray(
         ds.sample_batch(step, cfg.train.batch_size, cfg.train.seed))))
     if args.prefetch > 0:
@@ -212,18 +220,30 @@ def main() -> None:
         state, metrics = step_fn(state, mel)
         if (step + 1) % args.log_every == 0 or step == start_step:
             logger.log(step + 1, metrics)
+            if guard is not None:
+                guard_reason = guard.update(
+                    step + 1, {k: float(metrics[k])
+                               for k in ("d_loss", "g_adv")})
+                if guard_reason:
+                    print(f"GUARD: {guard_reason}; stopping early",
+                          flush=True)
+                    (outdir / "STATUS").write_text(
+                        f"guard-stopped at step {step + 1}: "
+                        f"{guard_reason}\n")
+                    break
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, state)
     jax.block_until_ready(state.g_params)
     dt = time.perf_counter() - t_start
-    n_done = args.steps - start_step
+    end_step = (step + 1) if guard_reason else args.steps
+    n_done = end_step - start_step
     if n_done > 0:
         print(f"loop: {n_done} steps in {dt:.1f}s "
               f"({1e3 * dt / n_done:.1f} ms/step incl. host pipeline)")
-    ckpt.save(args.steps, state, wait=True)
+    ckpt.save(end_step, state, wait=True)
     ckpt.close()
     logger.close()
-    print(f"done: {args.steps} steps -> {outdir}")
+    print(f"done: {end_step} steps -> {outdir}")
 
 
 if __name__ == "__main__":

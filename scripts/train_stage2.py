@@ -96,6 +96,10 @@ def main() -> None:
                     help="bfloat16 compute in the generator")
     ap.add_argument("--auto-mel-stats", action="store_true",
                     help="derive MelScaler (shift, scale) from the corpus")
+    ap.add_argument("--guard", action="store_true",
+                    help="online collapse detection (train/guard.py): stop "
+                         "early, stamp STATUS, keep checkpoints, exit 0 — "
+                         "instead of training a collapsed GAN to the end")
     ap.add_argument("--prefetch", type=int, default=2,
                     help="host-side batch prefetch depth (0 = synchronous)")
     ap.add_argument("--ram-budget-mb", type=int, default=0,
@@ -256,6 +260,11 @@ def main() -> None:
         return gen.apply({"params": g_params}, mel)
 
     logger = MetricsLogger(str(outdir / "metrics.jsonl"))
+    guard = None
+    if args.guard:
+        from music_synthesis_tpu.train.guard import CollapseGuard
+        guard = CollapseGuard()
+    guard_reason = None
     make_batch = lambda step: prep(
         ds.sample_batch(step, cfg.train.batch_size, cfg.train.seed))
     if args.prefetch > 0:
@@ -268,6 +277,17 @@ def main() -> None:
         state, metrics = step_fn(state, wav)
         if (step + 1) % args.log_every == 0 or step == start_step:
             logger.log(step + 1, metrics)
+            if guard is not None:
+                guard_reason = guard.update(
+                    step + 1, {k: float(metrics[k])
+                               for k in ("d_loss", "g_adv", "g_stft")})
+                if guard_reason:
+                    print(f"GUARD: {guard_reason}; stopping early",
+                          flush=True)
+                    (outdir / "STATUS").write_text(
+                        f"guard-stopped at step {step + 1}: "
+                        f"{guard_reason}\n")
+                    break
         if (step + 1) % args.ckpt_every == 0:
             ckpt.save(step + 1, state)
         if (step + 1) % args.audio_every == 0:
@@ -280,14 +300,15 @@ def main() -> None:
                       cfg.frontend.sample_rate, raw[0])
     jax.block_until_ready(state.g_params)
     dt = time.perf_counter() - t_start
-    n_done = args.steps - start_step
+    end_step = (step + 1) if guard_reason else args.steps
+    n_done = end_step - start_step
     if n_done > 0:
         print(f"loop: {n_done} steps in {dt:.1f}s "
               f"({1e3 * dt / n_done:.1f} ms/step incl. host pipeline)")
-    ckpt.save(args.steps, state, wait=True)
+    ckpt.save(end_step, state, wait=True)
     ckpt.close()
     logger.close()
-    print(f"done: {args.steps} steps -> {outdir}")
+    print(f"done: {end_step} steps -> {outdir}")
 
 
 if __name__ == "__main__":
