@@ -75,6 +75,10 @@ class ServeConfig:
     # parallel/mesh.py). 1 = single device. Every batch bucket must divide
     # evenly over the mesh so shapes stay static per shard.
     mesh_devices: int = 1
+    # Serving precision: "bfloat16" runs both generators' convs MXU-native
+    # at half the HBM traffic (fp32 master weights, per-op casts — the
+    # same mixed-precision layout the bf16 training recipe uses).
+    compute_dtype: str = "float32"
 
 
 def _load_entry(name: str, kind: str, root) -> zoo.PretrainedEntry:
@@ -100,8 +104,12 @@ class SynthService:
 
         cfg = dataclasses.replace(
             base_cfg,
-            specgan=self._composer.config,
-            vocoder=self._vocoder.config,
+            specgan=dataclasses.replace(
+                self._composer.config,
+                compute_dtype=serve_cfg.compute_dtype),
+            vocoder=dataclasses.replace(
+                self._vocoder.config,
+                compute_dtype=serve_cfg.compute_dtype),
         )
         # Conditioning must reproduce the training-time normalization
         # (round-2 advisor finding on scripts/generate.py): the vocoder

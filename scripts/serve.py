@@ -30,6 +30,8 @@ def main() -> None:
                     help="default loudness calibration; 0 = raw model level")
     ap.add_argument("--mesh", type=int, default=1,
                     help="shard each batch bucket over N devices (DP)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute (half the HBM traffic on TPU)")
     ap.add_argument("--device", choices=["cpu", "default"], default="default")
     args = ap.parse_args()
 
@@ -49,6 +51,7 @@ def main() -> None:
         crossfade_frames=args.crossfade_frames,
         target_rms=args.target_rms,
         mesh_devices=args.mesh,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     print(f"loading {args.composer} + {args.vocoder}; "
           f"warming {len(sc.batch_buckets) * len(sc.patch_buckets)} "

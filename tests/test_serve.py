@@ -141,6 +141,40 @@ def test_dp_serving_matches_single_device(tiny_zoo, service):
     np.testing.assert_allclose(wav_dp[:2], wav_1, rtol=2e-4, atol=1e-6)
 
 
+def test_bf16_serving_close_to_fp32(tiny_zoo, service):
+    """bfloat16 compute serves audio spectrally close to fp32."""
+    from music_synthesis_tpu.losses.stft_loss import multires_stft_loss
+
+    sc = dataclasses_replace_serve(
+        ServeConfig(
+            composer="composer_t", vocoder="vocoder_t",
+            zoo_root=str(tiny_zoo), batch_buckets=(2,), patch_buckets=(1,),
+            crossfade_frames=4, target_rms=0.0),
+        compute_dtype="bfloat16")
+    bf = SynthService(sc, base_cfg=TINY, warmup=False)
+    sr = bf.cfg.frontend.sample_rate
+    seconds = bf.out_samples(1) / sr * 0.9
+    wav_bf, _ = bf.synth(seconds=seconds, seed=11, n_clips=2, target_rms=0.0)
+    wav_fp, _ = service.synth(seconds=seconds, seed=11, n_clips=2,
+                              target_rms=0.0)
+    d = float(multires_stft_loss(
+        jax.numpy.asarray(wav_bf), jax.numpy.asarray(wav_fp),
+        TINY.stft_loss))
+    # The 0.5-jittered random net is numerically chaotic, so this bound is
+    # mechanism-level only (finite, same ballpark, not bit-equal). On the
+    # real trained zoo the measured bf16-vs-fp32 distance is 0.069 with
+    # RMS equal to 0.1% (DESIGN.md §14) — the production-quality evidence.
+    assert 0 < d < 2.0, d
+    rms_bf = float(np.sqrt(np.mean(wav_bf ** 2)))
+    rms_fp = float(np.sqrt(np.mean(wav_fp ** 2)))
+    assert abs(rms_bf - rms_fp) / rms_fp < 0.25
+
+
+def dataclasses_replace_serve(sc, **kw):
+    import dataclasses
+    return dataclasses.replace(sc, **kw)
+
+
 def test_dp_serving_rejects_indivisible_buckets(tiny_zoo):
     with pytest.raises(ValueError, match="divide"):
         SynthService(ServeConfig(
