@@ -79,6 +79,13 @@ class ServeConfig:
     # at half the HBM traffic (fp32 master weights, per-op casts — the
     # same mixed-precision layout the bf16 training recipe uses).
     compute_dtype: str = "float32"
+    # Request coalescing: hold each device call open this long and merge
+    # concurrently-arriving requests with the same patch bucket into ONE
+    # batched program execution (clips are batch-independent, so merged
+    # audio is identical to solo audio). 0 = every request dispatches
+    # immediately. The latency/throughput trade every accelerator server
+    # makes; worth it when the chip is the bottleneck, not the queue.
+    coalesce_window_ms: float = 0.0
 
 
 def _load_entry(name: str, kind: str, root) -> zoo.PretrainedEntry:
@@ -156,8 +163,12 @@ class SynthService:
         self._m_lock = threading.Lock()
         self._requests = 0
         self._errors = 0
+        self._device_calls = 0
         self._latencies: list[float] = []  # seconds, last 512 kept
         self._warm: list[tuple[int, int]] = []
+        self._coalescer = (
+            _Coalescer(self, serve_cfg.coalesce_window_ms / 1e3)
+            if serve_cfg.coalesce_window_ms > 0 else None)
         if warmup:
             self.warm_all()
 
@@ -198,6 +209,29 @@ class SynthService:
             wav.block_until_ready()
         return wav
 
+    def _z_rows(self, seed: int, n_clips: int, n: int) -> jax.Array:
+        """Per-request latent rows ``[n_clips, n, Z]``. Threefry is
+        counter-based, so these rows are a prefix of any larger same-key
+        draw — bucket padding never changes a clip's audio."""
+        return jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (n_clips, n, self.cfg.specgan.latent_dim))
+
+    def _execute(self, n: int, rows: jax.Array) -> np.ndarray:
+        """Pad ``[R, n, Z]`` rows up to the batch bucket, run the
+        precompiled program, return the first R clips."""
+        r = rows.shape[0]
+        b = self.batch_bucket(r)
+        assert r <= b, (r, b)
+        z = jnp.asarray(rows)
+        if b > r:
+            z = jnp.concatenate(
+                [z, jnp.zeros((b - r,) + z.shape[1:], z.dtype)], axis=0)
+        out = self._run(b, n, z)
+        with self._m_lock:
+            self._device_calls += 1
+        return np.asarray(out[:r])
+
     def warm_all(self) -> list[tuple[int, int]]:
         """Compile + execute every configured (batch, patches) bucket."""
         key = jax.random.PRNGKey(0)
@@ -234,9 +268,11 @@ class SynthService:
                    self.out_samples(n))
 
         t0 = time.perf_counter()
-        z = jax.random.normal(
-            jax.random.PRNGKey(seed), (b, n, self.cfg.specgan.latent_dim))
-        wav = np.asarray(self._run(b, n, z))[:n_clips, :want]
+        rows = self._z_rows(seed, n_clips, n)
+        if self._coalescer is not None:
+            wav = self._coalescer.submit(n, rows)[:, :want]
+        else:
+            wav = self._execute(n, rows)[:, :want]
         rms_target = sc.target_rms if target_rms is None else target_rms
         if rms_target > 0:
             rms = np.sqrt(np.mean(np.square(wav), axis=-1, keepdims=True))
@@ -286,6 +322,7 @@ class SynthService:
             return {
                 "requests": self._requests,
                 "errors": self._errors,
+                "device_calls": self._device_calls,
                 "latency_p50_ms": round(lat[n // 2] * 1e3, 3) if n else None,
                 "latency_p95_ms": (
                     round(lat[min(n - 1, int(n * 0.95))] * 1e3, 3)
@@ -295,6 +332,72 @@ class SynthService:
     def count_error(self) -> None:
         with self._m_lock:
             self._errors += 1
+
+
+class _Coalescer:
+    """Merge concurrent same-patch-bucket requests into one device call.
+
+    A single worker thread drains a queue: the first waiting request opens
+    a window; everything that arrives within it joins the flush. Each
+    flush groups requests by patch bucket, concatenates their latent rows,
+    and executes per group in max-bucket-sized chunks; results are split
+    back by row offsets. Clips are batch-independent, so a coalesced
+    clip's audio is identical to its solo audio (tested).
+    """
+
+    def __init__(self, svc: SynthService, window_s: float):
+        import queue
+
+        self._svc = svc
+        self._window = window_s
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._empty = queue.Empty
+        t = threading.Thread(target=self._loop, daemon=True,
+                             name="msynth-coalescer")
+        t.start()
+
+    def submit(self, n: int, rows: jax.Array) -> np.ndarray:
+        item = {"n": n, "rows": rows, "done": threading.Event(),
+                "out": None, "exc": None}
+        self._q.put(item)
+        item["done"].wait()
+        if item["exc"] is not None:
+            raise item["exc"]
+        return item["out"]
+
+    def _loop(self) -> None:
+        while True:
+            batch = [self._q.get()]
+            deadline = time.monotonic() + self._window
+            while True:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except self._empty:
+                    break
+            groups: dict[int, list[dict]] = {}
+            for it in batch:
+                groups.setdefault(it["n"], []).append(it)
+            max_b = max(self._svc.serve_cfg.batch_buckets)
+            for n, items in groups.items():
+                try:
+                    rows = jnp.concatenate([it["rows"] for it in items], 0)
+                    outs = [self._svc._execute(n, rows[i:i + max_b])
+                            for i in range(0, rows.shape[0], max_b)]
+                    out = np.concatenate(outs, axis=0)
+                    off = 0
+                    for it in items:
+                        r = it["rows"].shape[0]
+                        it["out"] = out[off:off + r]
+                        off += r
+                except Exception as e:  # propagate to every waiter
+                    for it in items:
+                        it["exc"] = e
+                finally:
+                    for it in items:
+                        it["done"].set()
 
 
 def wav_bytes(sample_rate: int, wav: np.ndarray) -> bytes:

@@ -32,6 +32,9 @@ def main() -> None:
                     help="shard each batch bucket over N devices (DP)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (half the HBM traffic on TPU)")
+    ap.add_argument("--coalesce-ms", type=float, default=0.0,
+                    help="merge concurrent requests into one device call "
+                         "within this window (0 = off)")
     ap.add_argument("--device", choices=["cpu", "default"], default="default")
     args = ap.parse_args()
 
@@ -52,6 +55,7 @@ def main() -> None:
         target_rms=args.target_rms,
         mesh_devices=args.mesh,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        coalesce_window_ms=args.coalesce_ms,
     )
     print(f"loading {args.composer} + {args.vocoder}; "
           f"warming {len(sc.batch_buckets) * len(sc.patch_buckets)} "

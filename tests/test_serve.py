@@ -184,6 +184,43 @@ def test_dp_serving_rejects_indivisible_buckets(tiny_zoo):
         ), base_cfg=TINY, warmup=False)
 
 
+def test_coalescing_merges_requests_and_preserves_audio(tiny_zoo, service):
+    """Concurrent requests merge into fewer device calls; each clip's
+    audio is identical to its solo (uncoalesced) synthesis."""
+    sc = ServeConfig(
+        composer="composer_t", vocoder="vocoder_t", zoo_root=str(tiny_zoo),
+        batch_buckets=(1, 2, 4), patch_buckets=(1,),
+        crossfade_frames=4, target_rms=0.0, max_clips_per_request=4,
+        coalesce_window_ms=250.0,
+    )
+    co = SynthService(sc, base_cfg=TINY, warmup=False)
+    sr = co.cfg.frontend.sample_rate
+    seconds = co.out_samples(1) / sr * 0.9
+
+    results = {}
+
+    def hit(seed):
+        results[seed] = co.synth(seconds=seconds, seed=seed, n_clips=1,
+                                 target_rms=0.0)[0]
+
+    threads = [threading.Thread(target=hit, args=(s,)) for s in (1, 2, 3, 4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    m = co.metrics()
+    assert m["requests"] == 4
+    assert m["device_calls"] < 4, m  # at least some requests merged
+    # Audio identity vs the solo service (same tiny zoo, same seeds).
+    for seed in (1, 2, 3, 4):
+        solo, _ = service.synth(seconds=seconds, seed=seed, n_clips=1,
+                                target_rms=0.0)
+        # Different pad-to-bucket shapes may pick different conv
+        # algorithms; clips match to float tolerance, not bit-for-bit.
+        np.testing.assert_allclose(results[seed], solo,
+                                   rtol=2e-4, atol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def http_server(service):
     httpd = make_server(service, host="127.0.0.1", port=0)
