@@ -86,6 +86,10 @@ class ServeConfig:
     # immediately. The latency/throughput trade every accelerator server
     # makes; worth it when the chip is the bottleneck, not the queue.
     coalesce_window_ms: float = 0.0
+    # POST /stream ceiling: streaming synthesis (infer/stream.py) runs two
+    # fixed-shape programs per patch, so duration is unbounded in compile
+    # terms; this only bounds a single request's wall time.
+    max_stream_seconds: float = 600.0
 
 
 def _load_entry(name: str, kind: str, root) -> zoo.PretrainedEntry:
@@ -169,6 +173,8 @@ class SynthService:
         self._coalescer = (
             _Coalescer(self, serve_cfg.coalesce_window_ms / 1e3)
             if serve_cfg.coalesce_window_ms > 0 else None)
+        from music_synthesis_tpu.infer.stream import make_stream_fns
+        self._stream_fns = make_stream_fns(cfg)
         if warmup:
             self.warm_all()
 
@@ -233,7 +239,8 @@ class SynthService:
         return np.asarray(out[:r])
 
     def warm_all(self) -> list[tuple[int, int]]:
-        """Compile + execute every configured (batch, patches) bucket."""
+        """Compile + execute every configured (batch, patches) bucket,
+        plus the two fixed-shape streaming programs."""
         key = jax.random.PRNGKey(0)
         for b in self.serve_cfg.batch_buckets:
             for n in self.serve_cfg.patch_buckets:
@@ -241,6 +248,9 @@ class SynthService:
                     key, (b, n, self.cfg.specgan.latent_dim))
                 self._run(b, n, z)
                 self._warm.append((b, n))
+        for _ in self.stream_blocks(seconds=1e-6, seed=0):
+            pass
+        self._warm.append(("stream", 1))
         return list(self._warm)
 
     def synth(
@@ -295,6 +305,55 @@ class SynthService:
                          / max(dt, 1e-9), 1),
         }
         return wav.astype(np.float32), meta
+
+    # -- streaming -----------------------------------------------------------
+
+    def stream_samples(self, seconds: float) -> tuple[int, int]:
+        """(exact samples, patch count) a /stream request will produce."""
+        sc = self.serve_cfg
+        if not (0 < seconds <= sc.max_stream_seconds):
+            raise ValueError(
+                f"seconds must be in (0, {sc.max_stream_seconds}]")
+        c = self.cfg
+        t, cf = c.specgan.n_frames, sc.crossfade_frames
+        want = max(1, int(round(seconds * c.frontend.sample_rate)))
+        n = 1
+        while True:
+            t_long = n * (t - cf) + cf
+            usable = t_long - (t_long - c.infer.chunk_frames) \
+                % c.infer.hop_frames
+            if usable * c.vocoder.hop_length >= want or n > 1_000_000:
+                return want, n
+            n += 1
+
+    def stream_blocks(self, seconds: float, seed: int = 0):
+        """Yield float32 ``[samples]`` blocks as they become final; total
+        is exactly ``stream_samples(seconds)[0]``. Unbounded duration,
+        fixed-shape programs (infer/stream.py), raw model loudness."""
+        from music_synthesis_tpu.infer.stream import StreamingSynth
+
+        want, n = self.stream_samples(seconds)
+        s = StreamingSynth(self.cfg, self._composer.params,
+                           self._vocoder.params,
+                           self.serve_cfg.crossfade_frames,
+                           fns=self._stream_fns)
+        z = jax.random.normal(
+            jax.random.PRNGKey(seed), (1, n, self.cfg.specgan.latent_dim))
+        sent = 0
+        for i in range(n):
+            with self._dispatch:
+                blk = s.feed(z[:, i])
+            blk = blk[0, : max(0, want - sent)]
+            sent += blk.shape[0]
+            if blk.shape[0]:
+                yield blk
+            if sent >= want:
+                return
+        with self._dispatch:
+            tail = s.finish()
+        tail = tail[0, : max(0, want - sent)]
+        if tail.shape[0]:
+            yield tail
 
     # -- introspection -----------------------------------------------------
 
@@ -407,6 +466,23 @@ def wav_bytes(sample_rate: int, wav: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def wav_header(sample_rate: int, n_samples: int) -> bytes:
+    """44-byte PCM16 mono WAV header for a known-length progressive body."""
+    import struct
+
+    data = n_samples * 2
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + data), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                             sample_rate * 2, 2, 16),
+        b"data", struct.pack("<I", data),
+    ])
+
+
+def pcm16(block: np.ndarray) -> bytes:
+    return (np.clip(block, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
 class _Handler(BaseHTTPRequestHandler):
     # service is attached to the server object by make_server().
 
@@ -439,6 +515,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         svc = self._svc()
+        if self.path == "/stream":
+            self._do_stream(svc)
+            return
         if self.path != "/generate":
             self._send_json(404, {"error": f"no route {self.path}"})
             return
@@ -463,6 +542,40 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("X-Msynth-Meta", json.dumps(meta))
         self.end_headers()
         self.wfile.write(body)
+
+
+    def _do_stream(self, svc: SynthService) -> None:
+        """Progressive synthesis: a known-length WAV whose PCM body is
+        written patch-by-patch as audio becomes final (raw model level —
+        loudness calibration needs the whole clip)."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            seconds = float(req.get("seconds", 8.0))
+            seed = int(req.get("seed", 0))
+            want, n = svc.stream_samples(seconds)
+        except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+            svc.count_error()
+            self._send_json(400, {"error": str(e)})
+            return
+        sr = svc.cfg.frontend.sample_rate
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(44 + 2 * want))
+        self.send_header("X-Msynth-Meta", json.dumps(
+            {"seed": seed, "patches": n, "samples": want,
+             "sample_rate": sr, "streamed": True}))
+        self.end_headers()
+        self.wfile.write(wav_header(sr, want))
+        self.wfile.flush()
+        t0 = time.perf_counter()
+        for block in svc.stream_blocks(seconds=seconds, seed=seed):
+            self.wfile.write(pcm16(block))
+            self.wfile.flush()
+        with svc._m_lock:
+            svc._requests += 1
+            svc._latencies = (
+                svc._latencies + [time.perf_counter() - t0])[-512:]
 
 
 def make_server(

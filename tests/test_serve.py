@@ -273,3 +273,44 @@ def test_http_endpoints(http_server, service):
 
     r, _ = _req(http_server, "GET", "/nope")
     assert r.status == 404
+
+
+def test_stream_blocks_exact_length_and_incremental(service):
+    sr = service.cfg.frontend.sample_rate
+    seconds = 3.1 * service.out_samples(1) / sr  # spans multiple patches
+    want, n = service.stream_samples(seconds)
+    assert n >= 3
+    blocks = list(service.stream_blocks(seconds=seconds, seed=4))
+    assert len(blocks) > 1  # audio arrives incrementally
+    total = np.concatenate(blocks)
+    assert total.shape == (want,)
+    assert np.isfinite(total).all()
+    # Deterministic per seed.
+    again = np.concatenate(list(service.stream_blocks(seconds, seed=4)))
+    np.testing.assert_array_equal(total, again)
+
+
+def test_stream_rejects_overlong(service):
+    with pytest.raises(ValueError):
+        service.stream_samples(
+            service.serve_cfg.max_stream_seconds + 1)
+
+
+def test_http_stream_endpoint(http_server, service):
+    sr = service.cfg.frontend.sample_rate
+    seconds = 2.2 * service.out_samples(1) / sr
+    r, data = _req(http_server, "POST", "/stream",
+                   {"seconds": seconds, "seed": 6})
+    assert r.status == 200
+    meta = json.loads(r.getheader("X-Msynth-Meta"))
+    assert meta["streamed"] is True
+    sr2, decoded = scipy.io.wavfile.read(io.BytesIO(data))
+    assert sr2 == sr and decoded.shape == (meta["samples"],)
+    # The WAV body is the PCM quantization of the service's own stream.
+    ref = np.concatenate(list(service.stream_blocks(seconds, seed=6)))
+    np.testing.assert_allclose(
+        decoded.astype(np.float32) / 32767.0, np.clip(ref, -1, 1),
+        atol=1.5 / 32767.0)
+
+    r, _ = _req(http_server, "POST", "/stream", {"seconds": -1})
+    assert r.status == 400
