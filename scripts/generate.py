@@ -38,6 +38,13 @@ def main() -> None:
                          "(infer.generate_long) to this duration")
     ap.add_argument("--crossfade-frames", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--interpolate", default="",
+                    help="'A:B' = slerp the long-form latent sequence from "
+                         "seed A to seed B (smooth morph between two "
+                         "compositions; infer/latent.py)")
+    ap.add_argument("--walk-step", type=float, default=0.0,
+                    help="smooth latent random walk: each patch slerps this "
+                         "far toward a fresh draw (0 = i.i.d. patches)")
     ap.add_argument("--target-rms", type=float, default=0.0,
                     help="post-gain each clip to this RMS (0 = off). The "
                          "trained vocoder renders ~0.25-0.4x real level "
@@ -186,8 +193,23 @@ def main() -> None:
         n_patches = max(1, -(-(frames - args.crossfade_frames) // hop_t))
         print(f"long-form: {n_patches} patches x {cfg.specgan.n_frames} "
               f"frames, crossfade {args.crossfade_frames}")
-        z = jax.random.normal(
-            key, (args.n, n_patches, cfg.specgan.latent_dim))
+        if args.interpolate:
+            from music_synthesis_tpu.infer.latent import latent_path
+            sa, sb = (int(s) for s in args.interpolate.split(":"))
+            za = jax.random.normal(
+                jax.random.PRNGKey(sa), (args.n, cfg.specgan.latent_dim))
+            zb = jax.random.normal(
+                jax.random.PRNGKey(sb), (args.n, cfg.specgan.latent_dim))
+            z = latent_path(za, zb, max(2, n_patches))
+            print(f"latent slerp path: seed {sa} -> seed {sb}")
+        elif args.walk_step > 0:
+            from music_synthesis_tpu.infer.latent import latent_walk
+            z = latent_walk(key, args.n, n_patches,
+                            cfg.specgan.latent_dim, step=args.walk_step)
+            print(f"latent random walk: step {args.walk_step}")
+        else:
+            z = jax.random.normal(
+                key, (args.n, n_patches, cfg.specgan.latent_dim))
         fn = jax.jit(generate_long, static_argnums=(0, 4))
         call = lambda zi: fn(cfg, s1.g_params, s2.g_params, zi,
                              args.crossfade_frames)
