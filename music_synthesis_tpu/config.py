@@ -218,6 +218,10 @@ class TrainConfig:
 
     batch_size: int = 16
     segment_length: int = 8192  # samples per training segment (32 frames)
+    # Host-side waveform augmentation (random gain + polarity per segment,
+    # data/dataset.py): label-free corpus multiplier for the data-bound
+    # fidelity plateau (DESIGN.md §13). Off = reference-faithful pipeline.
+    augment: bool = False
     g_lr: float = 1e-4
     d_lr: float = 1e-4
     adam_b1: float = 0.5

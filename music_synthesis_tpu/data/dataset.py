@@ -51,9 +51,17 @@ class AudioDataset:
         process_index: int = 0,
         process_count: int = 1,
         ram_budget_mb: int | None = None,
+        augment: bool = False,
     ):
         self.sample_rate = sample_rate
         self.segment_length = segment_length
+        # Waveform-domain augmentation (host-side, per segment): random
+        # gain in [0.6, 1.0] and polarity flip. Both are label-free
+        # invariances of music audio; they multiply the effective corpus
+        # without touching spectral content — a cheap lever on the
+        # data-bound fidelity plateau (docs/DESIGN.md §13). Deterministic
+        # in (step, seed) like the rest of the sampler.
+        self.augment = augment
         min_length = min_length or segment_length
         paths = sorted(Path(root).rglob("*.wav"))
         # Shard files across hosts: each process loads a disjoint subset.
@@ -123,6 +131,12 @@ class AudioDataset:
             start = rng.integers(0, self.lengths[ci] - self.segment_length + 1)
             clip = self._get_clip(ci)
             out[i] = clip[start : start + self.segment_length]
+        if self.augment:
+            gain = rng.uniform(0.6, 1.0, size=(batch_size, 1)).astype(
+                np.float32)
+            sign = rng.choice(
+                np.float32([-1.0, 1.0]), size=(batch_size, 1))
+            out *= gain * sign
         return out
 
 

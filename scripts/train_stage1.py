@@ -69,6 +69,9 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute in G and D")
     ap.add_argument("--auto-mel-stats", action="store_true")
+    ap.add_argument("--augment", action="store_true",
+                    help="random gain + polarity per segment "
+                         "(data/dataset.py; corpus multiplier)")
     ap.add_argument("--guard", action="store_true",
                     help="online collapse detection (train/guard.py): stop "
                          "early, stamp STATUS, keep checkpoints, exit 0")
@@ -119,6 +122,7 @@ def main() -> None:
         specgan=specgan,
         train=TrainConfig(
             batch_size=args.batch,
+            augment=args.augment,
             mesh_shape=(args.mesh,),
             grad_clip_norm=args.grad_clip,
             ema_decay=args.ema,
@@ -158,6 +162,7 @@ def main() -> None:
         process_index=jax.process_index(),
         process_count=jax.process_count(),
         ram_budget_mb=args.ram_budget_mb or None,
+        augment=cfg.train.augment,
     )
     print(f"corpus: {len(ds)} clips on {jax.device_count()} device(s)")
 

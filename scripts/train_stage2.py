@@ -96,6 +96,9 @@ def main() -> None:
                     help="bfloat16 compute in the generator")
     ap.add_argument("--auto-mel-stats", action="store_true",
                     help="derive MelScaler (shift, scale) from the corpus")
+    ap.add_argument("--augment", action="store_true",
+                    help="random gain + polarity per segment "
+                         "(data/dataset.py; corpus multiplier)")
     ap.add_argument("--guard", action="store_true",
                     help="online collapse detection (train/guard.py): stop "
                          "early, stamp STATUS, keep checkpoints, exit 0 — "
@@ -163,6 +166,7 @@ def main() -> None:
         train=TrainConfig(
             batch_size=args.batch,
             segment_length=args.segment,
+            augment=args.augment,
             mesh_shape=(args.mesh,),
             use_pallas_frontend=args.pallas_frontend,
             grad_clip_norm=args.grad_clip,
@@ -212,6 +216,7 @@ def main() -> None:
         process_index=jax.process_index(),
         process_count=jax.process_count(),
         ram_budget_mb=args.ram_budget_mb or None,
+        augment=cfg.train.augment,
     )
     print(f"corpus: {len(ds)} clips on {jax.device_count()} device(s)")
 

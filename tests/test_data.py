@@ -33,6 +33,30 @@ def test_dataset_sampling_and_sharding(tmp_path):
     assert set(d0.paths).isdisjoint(d1.paths)
 
 
+def test_augment_gain_and_polarity(tmp_path):
+    make_synthetic_corpus(tmp_path, n_clips=4, seconds=0.5)
+    plain = AudioDataset(tmp_path, segment_length=2048)
+    aug = AudioDataset(tmp_path, segment_length=2048, augment=True)
+    a = aug.sample_batch(3, 8)
+    p = plain.sample_batch(3, 8)
+    # Same (step, seed) -> same segments, scaled per row by g*s with
+    # g in [0.6, 1.0] and s in {-1, +1}.
+    ratios = []
+    for i in range(8):
+        nz = np.abs(p[i]) > 1e-6
+        assert nz.any()
+        r = a[i][nz] / p[i][nz]
+        np.testing.assert_allclose(r, r[0], rtol=1e-5)
+        ratios.append(r[0])
+    ratios = np.asarray(ratios)
+    assert (0.6 <= np.abs(ratios)).all() and (np.abs(ratios) <= 1.0).all()
+    assert (ratios < 0).any() and (ratios > 0).any()  # both polarities
+    # Augmentation is deterministic in (step, seed) too.
+    np.testing.assert_array_equal(a, aug.sample_batch(3, 8))
+    # Default-off path is bit-identical to the pre-augment sampler.
+    np.testing.assert_array_equal(p, plain.sample_batch(3, 8))
+
+
 def test_resample_preserves_tone():
     sr0, sr1 = 44100, 22050
     t = np.arange(sr0) / sr0
