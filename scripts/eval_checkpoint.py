@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--n-clips", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=4.0)
     ap.add_argument("--step", type=int, default=None, help="ckpt step (latest)")
+    ap.add_argument("--gl-anchor", action="store_true",
+                    help="also report the Griffin-Lim model-free anchor "
+                         "distance on the same held-out mels")
     args = ap.parse_args()
 
     from music_synthesis_tpu.utils.env import maybe_force_cpu
@@ -114,7 +117,17 @@ def main() -> None:
 
     dist_fn = jax.jit(lambda a, b: multires_stft_loss(a, b, cfg.stft_loss))
 
-    clips, dists, rms_ratios = [], [], []
+    gl_fn = None
+    if args.gl_anchor:
+        from music_synthesis_tpu.ops.griffin_lim import invert_log_mel
+        from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
+
+        @jax.jit
+        def gl_fn(wav_in):
+            return invert_log_mel(
+                log_mel_for_vocoder(wav_in, cfg.frontend), cfg.frontend, 48)
+
+    clips, dists, rms_ratios, gl_dists = [], [], [], []
     for i in range(args.n_clips):
         # Held-out step indices far from any training step.
         real = ds.sample_batch(2**29 + i, 1, seed=1234)
@@ -133,6 +146,17 @@ def main() -> None:
                   np.asarray(y[0]))
         clips.append((f"real {i}", real[0]))
         clips.append((f"resynth {i} (stft_dist={d:.4f})", np.asarray(y[0])))
+        if gl_fn is not None:
+            # Model-free anchor: Griffin-Lim on the SAME mel. Note it
+            # optimizes magnitude fidelity directly (the very thing this
+            # metric scores) at ~1000x the inference cost and with phase
+            # artifacts the metric is blind to — a bound on phase-less
+            # inversion, not a better vocoder.
+            y_gl = gl_fn(x)[:, : x.shape[1]]
+            gl_dists.append(float(dist_fn(y_gl, x)))
+            clips.append((f"griffin-lim {i} "
+                          f"(stft_dist={gl_dists[-1]:.4f})",
+                          np.asarray(y_gl[0])))
         print(f"clip {i}: multires_stft_distance = {d:.4f}")
 
     metrics = {
@@ -143,6 +167,9 @@ def main() -> None:
         "n_clips": args.n_clips,
         "generator_weights": 0.0 if which == "raw" else 1.0,
     }
+    if gl_dists:
+        metrics["griffin_lim_anchor_distance_mean"] = float(
+            np.mean(gl_dists))
     (out / "eval.json").write_text(json.dumps(metrics, indent=1))
     write_report(out / "report.html",
                  f"copy-synthesis eval @ step {step} ({which})",

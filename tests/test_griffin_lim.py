@@ -1,0 +1,78 @@
+"""Griffin-Lim baseline vocoder (ops/griffin_lim.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_synthesis_tpu.config import FrontendConfig
+from music_synthesis_tpu.losses.stft_loss import multires_stft_loss
+from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder, mel_matrix
+from music_synthesis_tpu.ops.griffin_lim import (
+    griffin_lim,
+    invert_log_mel,
+    log_mel_to_magnitude,
+    mel_pinv_matrix,
+)
+
+
+def _tone_batch(cfg, seconds=0.6):
+    sr = cfg.sample_rate
+    n = int(seconds * sr) // cfg.hop_length * cfg.hop_length
+    t = np.arange(n) / sr
+    x = np.stack([
+        0.3 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.15 * np.sin(2 * np.pi * 660.0 * t),
+        0.25 * np.sin(2 * np.pi * 330.0 * t) * np.exp(-t * 2.0),
+    ]).astype(np.float32)
+    return jnp.asarray(x)
+
+
+def test_mel_pinv_is_right_inverse_on_smooth_spectra():
+    cfg = FrontendConfig()
+    m = mel_matrix(cfg.sample_rate, cfg.n_fft, cfg.n_mels)
+    pinv = mel_pinv_matrix(cfg)
+    # M+ reconstructs a smooth magnitude spectrum through the mel domain.
+    f = np.linspace(0, 1, cfg.n_fft // 2 + 1).astype(np.float32)
+    spec = np.exp(-4.0 * f)[None]  # [1, F]
+    rec = np.maximum((spec @ m) @ pinv, 0.0)
+    # Mel has no resolution at the very top; compare the covered band.
+    band = slice(2, int(0.9 * spec.shape[1]))
+    rel = np.abs(rec[0, band] - spec[0, band]) / spec[0, band]
+    assert np.median(rel) < 0.05, float(np.median(rel))
+
+
+def test_log_mel_to_magnitude_round_trip():
+    cfg = FrontendConfig()
+    x = _tone_batch(cfg)
+    mel = log_mel_for_vocoder(x, cfg)
+    mag = log_mel_to_magnitude(mel, cfg)
+    assert mag.shape == (2, mel.shape[1], cfg.n_fft // 2 + 1)
+    assert bool(jnp.isfinite(mag).all()) and float(mag.min()) >= 0.0
+
+
+def test_griffin_lim_reconstructs_tones():
+    cfg = FrontendConfig()
+    x = _tone_batch(cfg)
+    mel = log_mel_for_vocoder(x, cfg)
+    rec = jax.jit(invert_log_mel, static_argnums=(1, 2))(mel, cfg, 32)
+    assert rec.shape == (2, mel.shape[1] * cfg.hop_length)
+    d = float(multires_stft_loss(rec, x[:, : rec.shape[1]]))
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(0), rec.shape)
+    d_noise = float(multires_stft_loss(noise, x[:, : rec.shape[1]]))
+    # Measured: ~0.6 on harmonic material vs ~8.8 for white noise.
+    assert d < 1.5, d
+    assert d < 0.3 * d_noise
+
+
+def test_griffin_lim_iterations_help():
+    cfg = FrontendConfig()
+    x = _tone_batch(cfg)[:1]
+    mel = log_mel_for_vocoder(x, cfg)
+    mag = log_mel_to_magnitude(mel, cfg)
+    d1 = float(multires_stft_loss(
+        griffin_lim(mag, cfg.n_fft, cfg.hop_length, n_iter=1),
+        x[:, : mag.shape[1] * cfg.hop_length]))
+    d32 = float(multires_stft_loss(
+        griffin_lim(mag, cfg.n_fft, cfg.hop_length, n_iter=32),
+        x[:, : mag.shape[1] * cfg.hop_length]))
+    assert d32 < d1
