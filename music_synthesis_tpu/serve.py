@@ -109,6 +109,7 @@ class SynthService:
         warmup: bool = True,
     ):
         self.serve_cfg = serve_cfg
+        self.base_cfg = base_cfg  # kept for hot-reload (POST /reload)
         root = serve_cfg.zoo_root
         self._composer = _load_entry(serve_cfg.composer, "specgan", root)
         self._vocoder = _load_entry(serve_cfg.vocoder, "vocoder", root)
@@ -518,6 +519,9 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/stream":
             self._do_stream(svc)
             return
+        if self.path == "/reload":
+            self._do_reload(svc)
+            return
         if self.path != "/generate":
             self._send_json(404, {"error": f"no route {self.path}"})
             return
@@ -543,6 +547,27 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+
+    def _do_reload(self, old: SynthService) -> None:
+        """Blue/green model hot-swap: build + warm a NEW service for the
+        requested zoo entries, then atomically repoint the server at it.
+        In-flight requests finish on the old service; a failed load or
+        warm leaves the old service untouched."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            sc = dataclasses.replace(
+                old.serve_cfg,
+                composer=req.get("composer", old.serve_cfg.composer),
+                vocoder=req.get("vocoder", old.serve_cfg.vocoder),
+            )
+            new = SynthService(sc, base_cfg=old.base_cfg, warmup=True)
+        except Exception as e:  # keep serving the old models on ANY failure
+            old.count_error()
+            self._send_json(400, {"error": str(e)})
+            return
+        self.server.service = new  # type: ignore[attr-defined]
+        self._send_json(200, new.health())
 
     def _do_stream(self, svc: SynthService) -> None:
         """Progressive synthesis: a known-length WAV whose PCM body is

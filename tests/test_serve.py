@@ -275,6 +275,41 @@ def test_http_endpoints(http_server, service):
     assert r.status == 404
 
 
+def test_http_hot_reload(tiny_zoo, http_server, service):
+    """POST /reload swaps models blue/green; failures keep the old ones."""
+    # A second vocoder with different weights -> audibly different output.
+    import dataclasses as _dc
+    m0 = jax.numpy.zeros((1, 8, TINY.vocoder.n_mels))
+    vp2 = Vocoder(TINY.vocoder).init(jax.random.PRNGKey(99), m0)["params"]
+    leaves, td = jax.tree.flatten(vp2)
+    ks = jax.random.split(jax.random.PRNGKey(100), len(leaves))
+    vp2 = jax.tree.unflatten(td, [
+        x + 0.5 * jax.random.normal(k, x.shape)
+        for x, k in zip(leaves, ks)])
+    zoo.save_pretrained(
+        "vocoder_t2", "vocoder", vp2, TINY.vocoder,
+        frontend=TINY.frontend, mel_scaler=TINY.mel_scaler, root=tiny_zoo)
+
+    body = {"seconds": 0.2, "seed": 5, "n_clips": 1, "target_rms": 0.0}
+    _, before = _req(http_server, "POST", "/generate", body)
+
+    # Unknown entry -> 400, old service still answers identically.
+    r, _ = _req(http_server, "POST", "/reload", {"vocoder": "nope"})
+    assert r.status == 400
+    r, still = _req(http_server, "POST", "/generate", body)
+    assert r.status == 200 and still == before
+
+    r, data = _req(http_server, "POST", "/reload", {"vocoder": "vocoder_t2"})
+    assert r.status == 200
+    assert json.loads(data)["vocoder"] == "vocoder_t2"
+    r, after = _req(http_server, "POST", "/generate", body)
+    assert r.status == 200 and after != before
+
+    # Swap back so later tests see the original service behavior.
+    r, _ = _req(http_server, "POST", "/reload", {"vocoder": "vocoder_t"})
+    assert r.status == 200
+
+
 def test_stream_blocks_exact_length_and_incremental(service):
     sr = service.cfg.frontend.sample_rate
     seconds = 3.1 * service.out_samples(1) / sr  # spans multiple patches
