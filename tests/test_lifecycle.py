@@ -1,0 +1,77 @@
+"""Full framework lifecycle in one test: train -> export -> serve.
+
+Drives the real scripts (not library shortcuts): a tiny stage-2 run via
+scripts/train_stage2.py, zoo export via scripts/export_zoo.py, then a
+SynthService serving the exported entry. This is the path a user takes
+from corpus to production endpoint.
+"""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run_script(name, argv, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        name, REPO / "scripts" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [f"{name}.py"] + argv)
+    mod.main()
+
+
+def test_train_export_serve(tmp_path, monkeypatch):
+    run = tmp_path / "run"
+    zoo_root = tmp_path / "zoo"
+
+    _run_script("train_stage2", [
+        "--preset", "tiny", "--steps", "6", "--batch", "2",
+        "--segment", "2048", "--ema", "0.999", "--auto-mel-stats",
+        "--ckpt-every", "6", "--log-every", "3", "--prefetch", "0",
+        "--outdir", str(run),
+    ], monkeypatch)
+    assert (run / "ckpt").exists() and (run / "mel_stats.json").exists()
+
+    _run_script("export_zoo", [
+        "--run", str(run), "--stage", "2", "--name", "voc_lifecycle",
+        "--preset", "tiny", "--ema", "0.999", "--root", str(zoo_root),
+        "--notes", "lifecycle test",
+    ], monkeypatch)
+    card = json.loads((zoo_root / "voc_lifecycle" / "card.json").read_text())
+    assert card["kind"] == "vocoder"
+    # The export must carry the run's mel scaler (conditioning provenance).
+    stats = json.loads((run / "mel_stats.json").read_text())
+    assert abs(card["mel_scaler"]["shift"] - stats["shift"]) < 1e-6
+
+    # Composer: a tiny stage-1 run exported the same way.
+    run1 = tmp_path / "run1"
+    _run_script("train_stage1", [
+        "--preset", "tiny", "--steps", "4", "--batch", "2",
+        "--ema", "0.999", "--auto-mel-stats", "--ckpt-every", "4",
+        "--log-every", "2", "--prefetch", "0", "--outdir", str(run1),
+    ], monkeypatch)
+    _run_script("export_zoo", [
+        "--run", str(run1), "--stage", "1", "--name", "comp_lifecycle",
+        "--preset", "tiny", "--ema", "0.999", "--root", str(zoo_root),
+    ], monkeypatch)
+
+    from music_synthesis_tpu.config import TINY
+    from music_synthesis_tpu.serve import ServeConfig, SynthService
+
+    svc = SynthService(ServeConfig(
+        composer="comp_lifecycle", vocoder="voc_lifecycle",
+        zoo_root=str(zoo_root), batch_buckets=(1,), patch_buckets=(1,),
+        crossfade_frames=4, target_rms=0.1,
+    ), base_cfg=TINY, warmup=True)
+    wav, meta = svc.synth(seconds=0.2, seed=1)
+    sr = svc.cfg.frontend.sample_rate
+    assert wav.shape == (1, int(round(0.2 * sr)))
+    assert np.isfinite(wav).all()
+    # The serving config reproduces the TRAINING normalization exactly.
+    assert abs(svc.cfg.mel_scaler.shift - stats["shift"]) < 1e-6
