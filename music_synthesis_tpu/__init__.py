@@ -9,11 +9,15 @@ overlap-add, and data-parallel training over an ICI device mesh.
 
 Public API quick reference::
 
-    from music_synthesis_tpu import config
+    from music_synthesis_tpu import config, zoo
     from music_synthesis_tpu.ops.frontend import log_mel
     from music_synthesis_tpu.ops.pallas_frontend import pallas_log_mel
+    from music_synthesis_tpu.ops.griffin_lim import invert_log_mel
     from music_synthesis_tpu.train import stage1, stage2
-    from music_synthesis_tpu.infer.generate import generate
+    from music_synthesis_tpu.infer.generate import generate, generate_long
+    from music_synthesis_tpu.infer.stream import StreamingSynth
+    from music_synthesis_tpu.infer.latent import latent_path, latent_walk
+    from music_synthesis_tpu.serve import SynthService, make_server
 """
 
 from music_synthesis_tpu import config

@@ -22,7 +22,9 @@ TPU-first:
 
 Transport is stdlib ``http.server`` (no third-party web stack in this
 environment): ``GET /healthz``, ``GET /models``, ``GET /metrics``,
-``POST /generate`` -> ``audio/wav`` bytes.
+``POST /generate`` -> ``audio/wav`` bytes, ``POST /stream`` -> a
+known-length progressive WAV (infer/stream.py), and ``POST /reload``
+for blue/green zoo model hot-swap.
 
 Usage (see scripts/serve.py for the CLI):
 
