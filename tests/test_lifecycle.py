@@ -33,10 +33,33 @@ def test_train_export_serve(tmp_path, monkeypatch):
     _run_script("train_stage2", [
         "--preset", "tiny", "--steps", "6", "--batch", "2",
         "--segment", "2048", "--ema", "0.999", "--auto-mel-stats",
-        "--ckpt-every", "6", "--log-every", "3", "--prefetch", "0",
+        "--ckpt-every", "3", "--log-every", "3", "--prefetch", "0",
         "--outdir", str(run),
     ], monkeypatch)
     assert (run / "ckpt").exists() and (run / "mel_stats.json").exists()
+
+    # Checkpoint averaging consumes and produces the same run layout.
+    avg = tmp_path / "run_avg"
+    _run_script("average_ckpts", [
+        "--run", str(run), "--steps", "3,6", "--out", str(avg),
+    ], monkeypatch)
+    assert (avg / "ckpt").exists() and (avg / "config.json").exists()
+
+    from music_synthesis_tpu.config import config_from_dict
+    from music_synthesis_tpu.train.checkpoint import (
+        CheckpointManager, abstract_state)
+
+    cfg_run = config_from_dict(json.loads((run / "config.json").read_text()))
+    tpl = abstract_state(cfg_run, stage=2)
+    s3 = CheckpointManager(run / "ckpt").restore(tpl, step=3)
+    s6 = CheckpointManager(run / "ckpt").restore(tpl, step=6)
+    sa = CheckpointManager(avg / "ckpt").restore(tpl)
+    a_leaf = jax.tree.leaves(sa.g_params)[0]
+    np.testing.assert_allclose(
+        a_leaf,
+        0.5 * (jax.tree.leaves(s3.g_params)[0]
+               + jax.tree.leaves(s6.g_params)[0]),
+        rtol=1e-6)
 
     _run_script("export_zoo", [
         "--run", str(run), "--stage", "2", "--name", "voc_lifecycle",
