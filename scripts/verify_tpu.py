@@ -85,6 +85,49 @@ def main() -> None:
           f"(d={vals['d_loss']:.2f} g={vals['g_loss']:.2f}, "
           f"{time.perf_counter() - t0:.0f}s)")
 
+    # 4. Round-4 components on the compiled path.
+    # 4a. Streaming == generate_long on device (scalar error pull).
+    from music_synthesis_tpu.infer.generate import generate_long
+    from music_synthesis_tpu.infer.stream import StreamingSynth
+
+    pc = E2E_INFERENCE
+    g1 = SpectrogramGenerator(pc.specgan).init(
+        jax.random.fold_in(key, 6), jnp.zeros((1, pc.specgan.latent_dim))
+    )["params"]
+    g2 = Vocoder(pc.vocoder).init(
+        jax.random.fold_in(key, 7), jnp.zeros((1, 8, pc.vocoder.n_mels))
+    )["params"]
+    z3 = jax.random.normal(jax.random.fold_in(key, 8),
+                           (1, 3, pc.specgan.latent_dim))
+    t0 = time.perf_counter()
+    ref = jax.jit(generate_long, static_argnums=(0, 4))(pc, g1, g2, z3, 8)
+    s = StreamingSynth(pc, g1, g2, crossfade_frames=8)
+    import numpy as np
+    out = np.concatenate(
+        [s.feed(z3[:, i]) for i in range(3)] + [s.finish()], axis=-1)
+    err = float(jnp.abs(jnp.asarray(out) - ref).max())
+    check("streaming == generate_long (compiled)", err < 1e-3,
+          f"(max err {err:.2e}, {time.perf_counter() - t0:.0f}s)")
+
+    # 4b. Griffin-Lim inversion compiles and reconstructs on device.
+    from music_synthesis_tpu.losses.stft_loss import multires_stft_loss
+    from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
+    from music_synthesis_tpu.ops.griffin_lim import invert_log_mel
+
+    t = jnp.arange(44032) / cfg.sample_rate
+    tone = (0.3 * jnp.sin(2 * jnp.pi * 440 * t))[None]
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def gl_dist(x):
+        mel = log_mel_for_vocoder(x, cfg)
+        rec = invert_log_mel(mel, cfg, 32)
+        return multires_stft_loss(rec, x[:, : rec.shape[-1]])
+
+    d = float(gl_dist(tone))
+    check("griffin-lim inversion (compiled)", 0 < d < 1.5,
+          f"(stft dist {d:.3f}, {time.perf_counter() - t0:.0f}s)")
+
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     sys.exit(1 if failures else 0)
 
