@@ -18,6 +18,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("--stage2", default=None, help="stage-2 ckpt dir")
+    ap.add_argument("--griffin-lim", action="store_true",
+                    help="model-free DSP vocoder (ops/griffin_lim.py) "
+                         "instead of the neural one")
+    ap.add_argument("--gl-iters", type=int, default=48)
     ap.add_argument("--out", default="resynth.wav")
     ap.add_argument("--device", choices=["cpu", "default"], default="default")
     args = ap.parse_args()
@@ -43,22 +47,32 @@ def main() -> None:
     wav = wav[: len(wav) // hop * hop]
     x = jnp.asarray(wav)[None]
 
-    if args.stage2:
-        from music_synthesis_tpu.train.checkpoint import abstract_state
+    if args.griffin_lim:
+        from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
+        from music_synthesis_tpu.ops.griffin_lim import invert_log_mel
 
-        g2 = CheckpointManager(args.stage2).restore(
-            abstract_state(cfg, stage=2)
-        ).g_params
+        @jax.jit
+        def copy_synth(wav_in):
+            mel = log_mel_for_vocoder(wav_in, cfg.frontend)
+            return invert_log_mel(mel, cfg.frontend, args.gl_iters)
     else:
-        g2 = Vocoder(cfg.vocoder).init(
-            jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.vocoder.n_mels))
-        )["params"]
-        print("note: untrained vocoder (no --stage2); output is noise-like")
+        if args.stage2:
+            from music_synthesis_tpu.train.checkpoint import abstract_state
 
-    @jax.jit
-    def copy_synth(wav_in):
-        mel = stage2.conditioning_mel(wav_in, cfg)
-        return Vocoder(cfg.vocoder).apply({"params": g2}, mel)
+            g2 = CheckpointManager(args.stage2).restore(
+                abstract_state(cfg, stage=2)
+            ).g_params
+        else:
+            g2 = Vocoder(cfg.vocoder).init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 8, cfg.vocoder.n_mels))
+            )["params"]
+            print("note: untrained vocoder (no --stage2); "
+                  "output is noise-like")
+
+        @jax.jit
+        def copy_synth(wav_in):
+            mel = stage2.conditioning_mel(wav_in, cfg)
+            return Vocoder(cfg.vocoder).apply({"params": g2}, mel)
 
     y = copy_synth(x)
     dist = float(multires_stft_loss(y, x, cfg.stft_loss))
