@@ -69,6 +69,10 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute in G and D")
     ap.add_argument("--auto-mel-stats", action="store_true")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax_debug_nans: fail loudly at the op that "
+                         "first produces a NaN (numeric sanitizer; "
+                         "disables async dispatch, debug runs only)")
     ap.add_argument("--augment", action="store_true",
                     help="random gain + polarity per segment "
                          "(data/dataset.py; corpus multiplier)")
@@ -86,6 +90,9 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     import dataclasses
 

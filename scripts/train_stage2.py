@@ -96,6 +96,10 @@ def main() -> None:
                     help="bfloat16 compute in the generator")
     ap.add_argument("--auto-mel-stats", action="store_true",
                     help="derive MelScaler (shift, scale) from the corpus")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax_debug_nans: fail loudly at the op that "
+                         "first produces a NaN (numeric sanitizer; "
+                         "disables async dispatch, debug runs only)")
     ap.add_argument("--augment", action="store_true",
                     help="random gain + polarity per segment "
                          "(data/dataset.py; corpus multiplier)")
@@ -116,6 +120,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     import dataclasses
 
