@@ -175,6 +175,39 @@ def dataclasses_replace_serve(sc, **kw):
     return dataclasses.replace(sc, **kw)
 
 
+def test_dp_coalesce_compose(tiny_zoo, service):
+    """The full production stack composes: mesh-sharded buckets behind
+    the coalescer still produce each clip's solo audio."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    sc = ServeConfig(
+        composer="composer_t", vocoder="vocoder_t", zoo_root=str(tiny_zoo),
+        batch_buckets=(8,), patch_buckets=(1,),
+        crossfade_frames=4, target_rms=0.0, max_clips_per_request=8,
+        mesh_devices=8, coalesce_window_ms=250.0,
+    )
+    svc = SynthService(sc, base_cfg=TINY, warmup=False)
+    sr = svc.cfg.frontend.sample_rate
+    seconds = svc.out_samples(1) / sr * 0.9
+    results = {}
+
+    def hit(seed):
+        results[seed] = svc.synth(seconds=seconds, seed=seed, n_clips=1,
+                                  target_rms=0.0)[0]
+
+    threads = [threading.Thread(target=hit, args=(s,)) for s in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert svc.metrics()["device_calls"] < 3
+    for seed in (1, 2, 3):
+        solo, _ = service.synth(seconds=seconds, seed=seed, n_clips=1,
+                                target_rms=0.0)
+        np.testing.assert_allclose(results[seed], solo,
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_dp_serving_rejects_indivisible_buckets(tiny_zoo):
     with pytest.raises(ValueError, match="divide"):
         SynthService(ServeConfig(
