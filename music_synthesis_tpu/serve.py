@@ -227,19 +227,25 @@ class SynthService:
             (n_clips, n, self.cfg.specgan.latent_dim))
 
     def _execute(self, n: int, rows: jax.Array) -> np.ndarray:
-        """Pad ``[R, n, Z]`` rows up to the batch bucket, run the
-        precompiled program, return the first R clips."""
-        r = rows.shape[0]
-        b = self.batch_bucket(r)
-        assert r <= b, (r, b)
-        z = jnp.asarray(rows)
-        if b > r:
-            z = jnp.concatenate(
-                [z, jnp.zeros((b - r,) + z.shape[1:], z.dtype)], axis=0)
-        out = self._run(b, n, z)
-        with self._m_lock:
-            self._device_calls += 1
-        return np.asarray(out[:r])
+        """Run ``[R, n, Z]`` rows through the precompiled programs: chunk
+        by the largest batch bucket, pad each chunk up to its bucket,
+        return exactly R clips."""
+        max_b = max(self.serve_cfg.batch_buckets)
+        outs = []
+        for i in range(0, rows.shape[0], max_b):
+            chunk = jnp.asarray(rows[i:i + max_b])
+            r = chunk.shape[0]
+            b = self.batch_bucket(r)
+            if b > r:
+                chunk = jnp.concatenate(
+                    [chunk,
+                     jnp.zeros((b - r,) + chunk.shape[1:], chunk.dtype)],
+                    axis=0)
+            out = self._run(b, n, chunk)
+            with self._m_lock:
+                self._device_calls += 1
+            outs.append(np.asarray(out[:r]))
+        return np.concatenate(outs, axis=0)
 
     def warm_all(self) -> list[tuple[int, int]]:
         """Compile + execute every configured (batch, patches) bucket,
@@ -442,13 +448,10 @@ class _Coalescer:
             groups: dict[int, list[dict]] = {}
             for it in batch:
                 groups.setdefault(it["n"], []).append(it)
-            max_b = max(self._svc.serve_cfg.batch_buckets)
             for n, items in groups.items():
                 try:
                     rows = jnp.concatenate([it["rows"] for it in items], 0)
-                    outs = [self._svc._execute(n, rows[i:i + max_b])
-                            for i in range(0, rows.shape[0], max_b)]
-                    out = np.concatenate(outs, axis=0)
+                    out = self._svc._execute(n, rows)
                     off = 0
                     for it in items:
                         r = it["rows"].shape[0]

@@ -98,6 +98,22 @@ def test_synth_shapes_gain_and_determinism(service):
         np.sqrt(np.mean(np.square(raw))), 0.1, rtol=1e-3)
 
 
+def test_synth_more_clips_than_largest_bucket(service):
+    """n_clips above the largest batch bucket (2) chunks across multiple
+    device calls instead of failing (regression: assert r <= b)."""
+    sr = service.cfg.frontend.sample_rate
+    seconds = service.out_samples(1) / sr * 0.5
+    before = service.metrics()["device_calls"]
+    wav, meta = service.synth(seconds=seconds, seed=2, n_clips=3,
+                              target_rms=0.0)
+    assert wav.shape[0] == 3 and np.isfinite(wav).all()
+    assert service.metrics()["device_calls"] - before == 2  # 2 + 1
+    # Chunking must not change any clip's audio.
+    two, _ = service.synth(seconds=seconds, seed=2, n_clips=2,
+                           target_rms=0.0)
+    np.testing.assert_allclose(wav[:2], two, rtol=2e-4, atol=1e-6)
+
+
 def test_synth_validates(service):
     with pytest.raises(ValueError):
         service.synth(seconds=-1.0)
