@@ -200,7 +200,7 @@ def test_dp_coalesce_compose(tiny_zoo, service):
         composer="composer_t", vocoder="vocoder_t", zoo_root=str(tiny_zoo),
         batch_buckets=(8,), patch_buckets=(1,),
         crossfade_frames=4, target_rms=0.0, max_clips_per_request=8,
-        mesh_devices=8, coalesce_window_ms=250.0,
+        mesh_devices=8, coalesce_window_ms=1000.0,
     )
     svc = SynthService(sc, base_cfg=TINY, warmup=False)
     sr = svc.cfg.frontend.sample_rate
@@ -240,7 +240,7 @@ def test_coalescing_merges_requests_and_preserves_audio(tiny_zoo, service):
         composer="composer_t", vocoder="vocoder_t", zoo_root=str(tiny_zoo),
         batch_buckets=(1, 2, 4), patch_buckets=(1,),
         crossfade_frames=4, target_rms=0.0, max_clips_per_request=4,
-        coalesce_window_ms=250.0,
+        coalesce_window_ms=1000.0,
     )
     co = SynthService(sc, base_cfg=TINY, warmup=False)
     sr = co.cfg.frontend.sample_rate
