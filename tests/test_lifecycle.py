@@ -61,6 +61,24 @@ def test_train_export_serve(tmp_path, monkeypatch):
                + jax.tree.leaves(s6.g_params)[0]),
         rtol=1e-6)
 
+    # Held-out evaluation through the real script (the TPU queues' eval
+    # step): judged magnitude distance + RMS + phase-jitter ratio + GL
+    # anchor must all come out finite on a fresh tiny run.
+    corpus = tmp_path / "corpus"
+    from music_synthesis_tpu.data.dataset import make_rich_corpus
+    make_rich_corpus(corpus, n_clips=2, seconds=1.0)
+    _run_script("eval_checkpoint", [
+        "--run", str(run), "--corpus", str(corpus), "--ema", "0.999",
+        "--n-clips", "1", "--seconds", "0.5", "--gl-anchor",
+    ], monkeypatch)
+    ev = json.loads((run / "eval" / "eval.json").read_text())
+    for k in ("copy_synthesis_multires_stft_distance_mean",
+              "resynth_rms_over_real_rms_mean",
+              "phase_jitter_ratio_mean",
+              "griffin_lim_anchor_distance_mean",
+              "griffin_lim_phase_jitter_ratio_mean"):
+        assert np.isfinite(ev[k]), (k, ev)
+
     _run_script("export_zoo", [
         "--run", str(run), "--stage", "2", "--name", "voc_lifecycle",
         "--preset", "tiny", "--ema", "0.999", "--root", str(zoo_root),
