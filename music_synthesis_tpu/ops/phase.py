@@ -1,12 +1,16 @@
 """Phase-coherence metric: magnitude-weighted inter-frame phase jitter.
 
 Why this exists (round-4): the judged fidelity metric — multi-res STFT
-distance (losses/stft_loss.py, BASELINE.json:2) — compares MAGNITUDES only.
-Griffin-Lim copy-synthesis exploits that blind spot: it optimizes magnitude
-fidelity directly and scores BETTER than the trained vocoder (1.95 vs 2.45
-on the same clips, runs/gl_anchor) while sounding worse, because its
-residual error is inter-frame phase incoherence ("iterative-STFT smear")
-that no magnitude metric can see. This module scores exactly that artifact.
+distance (losses/stft_loss.py, BASELINE.json:2) — compares MAGNITUDES only,
+so any phase-incoherent synthesis is invisible to it (proven in
+tests/test_phase.py: a random-phase resynth with the exact real magnitude
+barely moves the judged metric but scores > 3x here). This module scores
+that artifact class. Measured on the committed runs (DESIGN.md §15):
+48-iteration Griffin-Lim is nearly phase-coherent on the synthetic corpus
+(ratio 1.13 — the "GL hides phase smear" hypothesis is falsified at
+convergence), while the trained waveform head carries ~1.8x natural jitter
+and the collapsed iSTFT run 2.37x — the metric's real job is ranking
+vocoder phase health.
 
 Definition. For the complex STFT S[t, k] of a signal, let
 
