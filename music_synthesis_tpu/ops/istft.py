@@ -40,16 +40,25 @@ def irdft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def istft_synthesis(
-    re: jax.Array, im: jax.Array, n_fft: int, hop: int
+    re: jax.Array, im: jax.Array, n_fft: int, hop: int,
+    precision: jax.lax.Precision | str | None = None,
 ) -> jax.Array:
     """Spectral frames -> waveform: ``[B, T, n_fft//2+1] x2 -> [B, T*hop]``.
 
     Hann-windowed synthesis with COLA normalization; the (n_fft - hop)/2
     edge samples on each side are trimmed so output length is exactly
     T * hop (centered).
+
+    ``precision`` feeds the irDFT GEMMs. The default (backend default:
+    bf16 inputs on TPU MXU) is right for the trained iSTFT vocoder head —
+    one synthesis pass, error well under the model's own. Iterative
+    callers (Griffin-Lim runs this every iteration and scores empty bins
+    through a log-magnitude loss) pass ``"highest"``: TPU-vs-CPU GL
+    distance was 1.693 vs 0.678 under the default (round 4).
     """
     ic, is_ = irdft_matrices(n_fft)
-    frames = re @ jnp.asarray(ic) + im @ jnp.asarray(is_)  # [B, T, n_fft]
+    frames = (jnp.matmul(re, jnp.asarray(ic), precision=precision)
+              + jnp.matmul(im, jnp.asarray(is_), precision=precision))
     window = hann_window(n_fft, frames.dtype)
     wav = overlap_add(frames * window, hop)
     n_frames = frames.shape[-2]

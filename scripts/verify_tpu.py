@@ -125,7 +125,15 @@ def main() -> None:
         return multires_stft_loss(rec, x[:, : rec.shape[-1]])
 
     d = float(gl_dist(tone))
-    check("griffin-lim inversion (compiled)", 0 < d < 1.5,
+    # Calibration (round 4): this pure-tone check measured 0.678 on CPU
+    # but 1.693 on TPU under default matmul precision — bf16 MXU error in
+    # the mel-pinv + per-iteration irDFT GEMMs, scored by the loss's
+    # log-magnitude term in the tone's empty bins. Both GEMMs now run at
+    # precision="highest" (ops/griffin_lim.py), which should bring TPU to
+    # ~0.68; the bound stays a loose 1.2 until a hardware rerun confirms.
+    # White-noise anchor ~6.6. tests/test_griffin_lim.py pins the CPU
+    # value so CI catches miscalibration first.
+    check("griffin-lim inversion (compiled)", 0 < d < 1.2,
           f"(stft dist {d:.3f}, {time.perf_counter() - t0:.0f}s)")
 
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
