@@ -29,7 +29,7 @@ for blue/green zoo model hot-swap.
 Usage (see scripts/serve.py for the CLI):
 
     svc = SynthService(ServeConfig(composer="specgan_rich",
-                                   vocoder="vocoder_rich"))
+                                   vocoder="vocoder_istft"))
     httpd = make_server(svc, port=8000)
     httpd.serve_forever()
 """
@@ -60,7 +60,7 @@ class ServeConfig:
     """Serving deployment knobs (model selection + compiled-shape budget)."""
 
     composer: str = "specgan_rich"      # zoo entry name or dir (specgan)
-    vocoder: str = "vocoder_rich"       # zoo entry name or dir (vocoder)
+    vocoder: str = "vocoder_istft"      # zoo entry name or dir (vocoder)
     zoo_root: str | None = None         # default: repo zoo/
     # Precompiled shape grid. Every (batch, patches) request is padded up
     # to the nearest bucket; larger asks are clamped to the max bucket.
