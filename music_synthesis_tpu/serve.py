@@ -28,7 +28,7 @@ for blue/green zoo model hot-swap.
 
 Usage (see scripts/serve.py for the CLI):
 
-    svc = SynthService(ServeConfig(composer="specgan_rich",
+    svc = SynthService(ServeConfig(composer="specgan_flux",
                                    vocoder="vocoder_istft"))
     httpd = make_server(svc, port=8000)
     httpd.serve_forever()
@@ -59,7 +59,7 @@ __all__ = ["ServeConfig", "SynthService", "make_server"]
 class ServeConfig:
     """Serving deployment knobs (model selection + compiled-shape budget)."""
 
-    composer: str = "specgan_rich"      # zoo entry name or dir (specgan)
+    composer: str = "specgan_flux"      # zoo entry name or dir (specgan)
     vocoder: str = "vocoder_istft"      # zoo entry name or dir (vocoder)
     zoo_root: str | None = None         # default: repo zoo/
     # Precompiled shape grid. Every (batch, patches) request is padded up

@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--composer", default="specgan_rich")
+    ap.add_argument("--composer", default="specgan_flux")
     ap.add_argument("--vocoder", default="vocoder_istft")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
