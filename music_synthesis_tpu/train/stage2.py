@@ -29,6 +29,7 @@ from music_synthesis_tpu.losses.gan import (
     hinge_d_loss,
     hinge_g_loss,
 )
+from music_synthesis_tpu.losses.phase_loss import phase_coherence_loss
 from music_synthesis_tpu.losses.stft_loss import multires_stft_loss
 from music_synthesis_tpu.models.discriminators import CombinedDiscriminator
 from music_synthesis_tpu.models.vocoder import Vocoder
@@ -258,6 +259,16 @@ def train_step_impl(
                     jnp.abs(frame_rms(fake_g) - frame_rms(wav)))
                 total = total + t.lambda_energy * energy
                 aux["g_energy"] = energy
+            if t.lambda_phase > 0:
+                # Anti-wrapping IF+GD phase pull toward the real batch's
+                # phase derivatives (TrainConfig.lambda_phase) — the judged
+                # magnitude metric is blind to phase; this term is not.
+                ph = phase_coherence_loss(
+                    fake_g, wav, t.phase_n_fft, t.phase_hop,
+                    axis_name=axis_name,
+                )
+                total = total + t.lambda_phase * ph
+                aux["g_phase"] = ph
         return total, aux
 
     with jax.named_scope("g_step"):

@@ -67,6 +67,10 @@ def main() -> None:
     ap.add_argument("--lambda-energy", type=float, default=0.0,
                     help="frame-energy L1 weight (counteracts the measured "
                          "amplitude sag; 0 = reference-faithful off)")
+    ap.add_argument("--lambda-phase", type=float, default=0.0,
+                    help="anti-wrapping IF+GD phase-coherence loss weight "
+                         "(targets the measured ~1.8x phase-jitter gap the "
+                         "magnitude metric is blind to; 0 = off)")
     ap.add_argument("--lambda-stft", type=float, default=None,
                     help="override TrainConfig.lambda_stft (default 2.5; "
                          "HiFi-GAN-class recipes weight reconstruction "
@@ -185,6 +189,7 @@ def main() -> None:
             lr_decay_rate=args.lr_decay,
             lr_decay_every=args.lr_decay_every,
             lambda_energy=args.lambda_energy,
+            lambda_phase=args.lambda_phase,
             r1_gamma=args.r1_gamma,
             d_input_noise=args.d_noise,
             d_noise_decay_steps=args.noise_decay_steps,
