@@ -115,14 +115,14 @@ def bench_stage2_step(results: dict, variants: dict | None = None,
         "stage2_gan_step_ms": base,
         # Fast recipe: bf16 G/D + D(real)-feature reuse (round 2, quality-
         # validated at 50k steps) + the round-3 math-identical relayouts
-        # (dense block-diagonal MSD groups <= 64, one-forward D step, MRD
+        # (dense block-diagonal MSD groups <= 16, one-forward D step, MRD
         # F-fold; parity-tested in tests/test_round3.py, used by the 200k
-        # training run). Calibrated on-chip: 41-48 ms/step incl. host vs
-        # 67.9 ms for the round-2 recipe.
+        # training run). Cutoff 16 is the round-4 sweep winner: 31.8 ms vs
+        # 34.2 (cutoff 64) / 57.5 (256) — bench_step_variants.py, on-chip.
         "stage2_gan_step_fast_ms": dataclasses.replace(
             base,
             msd=dataclasses.replace(
-                base.msd, compute_dtype="bfloat16", dense_groups_max_g=64
+                base.msd, compute_dtype="bfloat16", dense_groups_max_g=16
             ),
             mrd=dataclasses.replace(
                 base.mrd, compute_dtype="bfloat16", f_fold=4

@@ -32,6 +32,7 @@ __all__ = [
     "generate",
     "generate_direct",
     "generate_long",
+    "generate_refined",
 ]
 
 
@@ -82,6 +83,32 @@ def generate(
 
 
 generate_jit = jax.jit(generate, static_argnums=0)
+
+
+def generate_refined(
+    cfg: PipelineConfig,
+    specgan_params,
+    vocoder_params,
+    z: jax.Array,
+    n_iter: int = 8,
+) -> jax.Array:
+    """``generate`` + warm-started Griffin-Lim consistency refinement.
+
+    The vocoded waveform's phase seeds a few STFT-consistency projections
+    against the stage-1 mel's own pinv magnitude (ops/griffin_lim.py::
+    griffin_lim_refine) — enforcing the magnitude/consistency constraint
+    the adversarial objective only approximates, at a measured handful of
+    GEMM round-trips per clip. Still one jitted XLA program (jit with
+    static cfg and n_iter).
+    """
+    from music_synthesis_tpu.ops.griffin_lim import refine_with_log_mel
+
+    mel = SpectrogramGenerator(cfg.specgan).apply({"params": specgan_params}, z)
+    wav = vocode_chunked(Vocoder(cfg.vocoder), vocoder_params, mel, cfg)
+    # Stage-1 output lives in the GAN's normalized mel space; the mel
+    # pseudo-inverse needs the raw log-mel (config.py MelScaler).
+    logmel = mel * cfg.mel_scaler.scale + cfg.mel_scaler.shift
+    return refine_with_log_mel(wav, logmel, cfg.frontend, n_iter=n_iter)
 
 
 def generate_direct(

@@ -26,7 +26,7 @@ from music_synthesis_tpu.ops.frontend import mel_matrix, stft
 from music_synthesis_tpu.ops.istft import istft_synthesis
 
 __all__ = ["mel_pinv_matrix", "log_mel_to_magnitude", "griffin_lim",
-           "invert_log_mel"]
+           "griffin_lim_refine", "refine_with_log_mel", "invert_log_mel"]
 
 
 @functools.lru_cache(maxsize=4)
@@ -71,34 +71,87 @@ def griffin_lim(
     istft_synthesis (Hann, COLA-normalized, centered trim), so the scan's
     fixed point is consistent with everything else in ops/.
     """
-    trim = (n_fft - hop) // 2
-
-    def synth(spec: jax.Array) -> jax.Array:
-        # "highest": the irDFT GEMMs run every iteration; bf16 MXU error
-        # compounds through the fixed point (see istft_synthesis docs).
-        return istft_synthesis(
-            jnp.real(spec), jnp.imag(spec), n_fft, hop,
-            precision="highest")
-
-    def analyze(wav: jax.Array) -> jax.Array:
-        pad = [(0, 0)] * (wav.ndim - 1) + [(trim, trim)]
-        return stft(jnp.pad(wav, pad), n_fft=n_fft, hop_length=hop)
-
     mag = mag.astype(jnp.float32)
     angles0 = jnp.ones(mag.shape, jnp.complex64)
+    rebuilt0 = jnp.zeros(mag.shape, jnp.complex64)
+    return _gl_iterations(mag, angles0, rebuilt0, n_fft, hop,
+                          n_iter, momentum)
 
+
+def _synth(spec: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    # "highest": the irDFT GEMMs run every iteration; bf16 MXU error
+    # compounds through the fixed point (see istft_synthesis docs).
+    return istft_synthesis(
+        jnp.real(spec), jnp.imag(spec), n_fft, hop, precision="highest")
+
+
+def _analyze(wav: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    trim = (n_fft - hop) // 2
+    pad = [(0, 0)] * (wav.ndim - 1) + [(trim, trim)]
+    return stft(jnp.pad(wav, pad), n_fft=n_fft, hop_length=hop)
+
+
+def _gl_iterations(
+    mag: jax.Array,
+    angles0: jax.Array,
+    rebuilt0: jax.Array,
+    n_fft: int,
+    hop: int,
+    n_iter: int,
+    momentum: float,
+) -> jax.Array:
     def body(carry, _):
         angles, rebuilt_prev = carry
-        wav = synth(mag * angles)
-        rebuilt = analyze(wav)
+        wav = _synth(mag * angles, n_fft, hop)
+        rebuilt = _analyze(wav, n_fft, hop)
         angles = rebuilt - (momentum / (1.0 + momentum)) * rebuilt_prev
         angles = angles / (jnp.abs(angles) + 1e-16)
         return (angles, rebuilt), None
 
     (angles, _), _ = jax.lax.scan(
-        body, (angles0, jnp.zeros(mag.shape, jnp.complex64)),
-        None, length=n_iter)
-    return synth(mag * angles)
+        body, (angles0, rebuilt0), None, length=n_iter)
+    return _synth(mag * angles, n_fft, hop)
+
+
+def griffin_lim_refine(
+    mag: jax.Array,
+    wav0: jax.Array,
+    n_fft: int,
+    hop: int,
+    n_iter: int = 8,
+    momentum: float = 0.99,
+) -> jax.Array:
+    """Warm-started Griffin-Lim: consistency-project ``wav0``'s phase onto
+    the target magnitude ``mag`` (``[B, T, F]``) for ``n_iter`` iterations.
+
+    This is the neural+classical hybrid: the vocoder supplies a phase
+    estimate that is already structurally coherent (cold GL needs ~48
+    iterations from random phase to converge on this corpus — DESIGN.md
+    §15), and a handful of projections enforce STFT-consistency against
+    the conditioning magnitude, the one thing the adversarially trained
+    generator does NOT optimize exactly. n_iter=0 is a single
+    magnitude-replacement synthesis (keep wav0's phase verbatim).
+
+    Reference citation: the reference mount is empty (SURVEY.md §0); the
+    reference has no refinement pass — this is a capability extension,
+    off by default everywhere.
+    """
+    mag = mag.astype(jnp.float32)
+    rebuilt0 = _analyze(wav0.astype(jnp.float32), n_fft, hop)
+    angles0 = rebuilt0 / (jnp.abs(rebuilt0) + 1e-16)
+    return _gl_iterations(mag, angles0, rebuilt0, n_fft, hop,
+                          n_iter, momentum)
+
+
+def refine_with_log_mel(
+    wav: jax.Array, logmel: jax.Array, cfg: FrontendConfig, n_iter: int = 8
+) -> jax.Array:
+    """Refine a vocoded waveform ``[B, T*hop]`` against its own raw log-mel
+    conditioning ``[B, T, n_mels]`` (log_mel_for_vocoder alignment).
+    Jittable; cfg/n_iter static."""
+    mag = log_mel_to_magnitude(logmel, cfg)
+    return griffin_lim_refine(mag, wav, cfg.n_fft, cfg.hop_length,
+                              n_iter=n_iter)
 
 
 def invert_log_mel(

@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--gl-anchor", action="store_true",
                     help="also report the Griffin-Lim model-free anchor "
                          "distance on the same held-out mels")
+    ap.add_argument("--gl-refine", type=int, default=0,
+                    help="also report the vocoder output refined by N "
+                         "warm-started Griffin-Lim consistency projections "
+                         "(ops/griffin_lim.py::griffin_lim_refine)")
     args = ap.parse_args()
 
     from music_synthesis_tpu.utils.env import maybe_force_cpu
@@ -127,6 +131,19 @@ def main() -> None:
         phase_jitter_ratio,
         n_fft=cfg.frontend.n_fft, hop_length=cfg.frontend.hop_length))
 
+    refine_fn = None
+    if args.gl_refine:
+        from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
+        from music_synthesis_tpu.ops.griffin_lim import refine_with_log_mel
+
+        @jax.jit
+        def refine_fn(wav_voc, wav_in):
+            # Refine against the REAL clip's raw log-mel — the same
+            # conditioning the vocoder consumed (copy-synthesis pairs).
+            return refine_with_log_mel(
+                wav_voc, log_mel_for_vocoder(wav_in, cfg.frontend),
+                cfg.frontend, n_iter=args.gl_refine)
+
     gl_fn = None
     if args.gl_anchor:
         from music_synthesis_tpu.ops.griffin_lim import invert_log_mel
@@ -139,6 +156,7 @@ def main() -> None:
 
     clips, dists, rms_ratios, gl_dists = [], [], [], []
     jitters, gl_jitters = [], []
+    ref_dists, ref_jitters = [], []
     for i in range(args.n_clips):
         # Held-out step indices far from any training step.
         real = ds.sample_batch(2**29 + i, 1, seed=1234)
@@ -158,6 +176,15 @@ def main() -> None:
                   np.asarray(y[0]))
         clips.append((f"real {i}", real[0]))
         clips.append((f"resynth {i} (stft_dist={d:.4f})", np.asarray(y[0])))
+        if refine_fn is not None:
+            y_ref = refine_fn(y, x)[:, : x.shape[1]]
+            ref_dists.append(float(dist_fn(y_ref, x)))
+            ref_jitters.append(float(jitter_fn(y_ref, x)))
+            write_wav(out / f"refined_{i:02d}.wav",
+                      cfg.frontend.sample_rate, np.asarray(y_ref[0]))
+            clips.append((f"refined {i} (n_iter={args.gl_refine}, "
+                          f"stft_dist={ref_dists[-1]:.4f})",
+                          np.asarray(y_ref[0])))
         if gl_fn is not None:
             # Model-free anchor: Griffin-Lim on the SAME mel. Note it
             # optimizes magnitude fidelity directly (the very thing this
@@ -181,6 +208,11 @@ def main() -> None:
         "n_clips": args.n_clips,
         "generator_weights": 0.0 if which == "raw" else 1.0,
     }
+    if ref_dists:
+        metrics["gl_refine_n_iter"] = args.gl_refine
+        metrics["gl_refined_distance_mean"] = float(np.mean(ref_dists))
+        metrics["gl_refined_phase_jitter_ratio_mean"] = float(
+            np.mean(ref_jitters))
     if gl_dists:
         metrics["griffin_lim_anchor_distance_mean"] = float(
             np.mean(gl_dists))
