@@ -32,7 +32,9 @@ __all__ = [
     "generate",
     "generate_direct",
     "generate_long",
+    "generate_long_refined",
     "generate_refined",
+    "stitch_long_mel",
 ]
 
 
@@ -136,6 +138,15 @@ def generate_long(
     selected by N: seconds ~= (N * (n_frames - crossfade_frames) +
     crossfade_frames) * hop / sample_rate. Still one jitted XLA program.
     """
+    mel_long = stitch_long_mel(cfg, specgan_params, z, crossfade_frames)
+    return vocode_chunked(Vocoder(cfg.vocoder), vocoder_params, mel_long, cfg)
+
+
+def stitch_long_mel(
+    cfg: PipelineConfig, specgan_params, z: jax.Array, crossfade_frames: int
+) -> jax.Array:
+    """``z[B, N, Z] -> mel[B, T_long, M]``: the stage-1/crossfade half of
+    ``generate_long``, shared with its refined variant."""
     b, n, zdim = z.shape
     t = cfg.specgan.n_frames
     hop_t = t - crossfade_frames
@@ -156,5 +167,22 @@ def generate_long(
     ic = cfg.infer
     t_long = mel_long.shape[1]
     usable = t_long - (t_long - ic.chunk_frames) % ic.hop_frames
-    mel_long = mel_long[:, :usable]
-    return vocode_chunked(Vocoder(cfg.vocoder), vocoder_params, mel_long, cfg)
+    return mel_long[:, :usable]
+
+
+def generate_long_refined(
+    cfg: PipelineConfig,
+    specgan_params,
+    vocoder_params,
+    z: jax.Array,
+    crossfade_frames: int = 8,
+    n_iter: int = 8,
+) -> jax.Array:
+    """``generate_long`` + warm-started GL consistency refinement (see
+    ``generate_refined``). cfg, crossfade_frames and n_iter are static."""
+    from music_synthesis_tpu.ops.griffin_lim import refine_with_log_mel
+
+    mel_long = stitch_long_mel(cfg, specgan_params, z, crossfade_frames)
+    wav = vocode_chunked(Vocoder(cfg.vocoder), vocoder_params, mel_long, cfg)
+    logmel = mel_long * cfg.mel_scaler.scale + cfg.mel_scaler.shift
+    return refine_with_log_mel(wav, logmel, cfg.frontend, n_iter=n_iter)

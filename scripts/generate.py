@@ -52,6 +52,11 @@ def main() -> None:
                          "segments run ~0.14 RMS, so 0.1 is a reasonable "
                          "listening level. Pure inference-time gain — "
                          "spectral shape is untouched.")
+    ap.add_argument("--gl-refine", type=int, default=0,
+                    help="N warm-started Griffin-Lim consistency "
+                         "projections of the vocoded audio against the "
+                         "stage-1 mel (ops/griffin_lim.py; 0 = off). "
+                         "Measured trade in DESIGN.md §19.")
     ap.add_argument("--out", default="generated")
     ap.add_argument("--report", action="store_true",
                     help="also write a listenable HTML report")
@@ -210,13 +215,29 @@ def main() -> None:
         else:
             z = jax.random.normal(
                 key, (args.n, n_patches, cfg.specgan.latent_dim))
-        fn = jax.jit(generate_long, static_argnums=(0, 4))
-        call = lambda zi: fn(cfg, s1.g_params, s2.g_params, zi,
-                             args.crossfade_frames)
+        if args.gl_refine > 0:
+            from music_synthesis_tpu.infer.generate import (
+                generate_long_refined,
+            )
+
+            fn = jax.jit(generate_long_refined, static_argnums=(0, 4, 5))
+            call = lambda zi: fn(cfg, s1.g_params, s2.g_params, zi,
+                                 args.crossfade_frames, args.gl_refine)
+        else:
+            fn = jax.jit(generate_long, static_argnums=(0, 4))
+            call = lambda zi: fn(cfg, s1.g_params, s2.g_params, zi,
+                                 args.crossfade_frames)
     else:
         z = jax.random.normal(key, (args.n, cfg.specgan.latent_dim))
-        fn = jax.jit(generate, static_argnums=0)
-        call = lambda zi: fn(cfg, s1.g_params, s2.g_params, zi)
+        if args.gl_refine > 0:
+            from music_synthesis_tpu.infer.generate import generate_refined
+
+            fn = jax.jit(generate_refined, static_argnums=(0, 4))
+            call = lambda zi: fn(cfg, s1.g_params, s2.g_params, zi,
+                                 args.gl_refine)
+        else:
+            fn = jax.jit(generate, static_argnums=0)
+            call = lambda zi: fn(cfg, s1.g_params, s2.g_params, zi)
     t0 = time.perf_counter()
     wav = call(z)
     wav.block_until_ready()

@@ -149,3 +149,31 @@ def test_vocoder_istft_head():
     assert wav.shape == (2, 8 * 256)
     assert np.isfinite(np.asarray(wav)).all()
     assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+def test_generate_long_refined_shape_matches_unrefined():
+    """generate_long_refined: same duration/shape as generate_long, finite
+    (the stitch half is shared code — stitch_long_mel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from music_synthesis_tpu.config import TINY
+    from music_synthesis_tpu.infer.generate import (
+        generate_long, generate_long_refined,
+    )
+    from music_synthesis_tpu.models.specgan import SpectrogramGenerator
+    from music_synthesis_tpu.models.vocoder import Vocoder
+
+    cfg = TINY
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (1, 3, cfg.specgan.latent_dim))
+    sg = SpectrogramGenerator(cfg.specgan).init(
+        key, z[:, 0])["params"]
+    vp = Vocoder(cfg.vocoder).init(
+        key, jnp.zeros((1, cfg.specgan.n_frames, cfg.vocoder.n_mels))
+    )["params"]
+    base = jax.jit(generate_long, static_argnums=(0, 4))(cfg, sg, vp, z, 4)
+    ref = jax.jit(generate_long_refined, static_argnums=(0, 4, 5))(
+        cfg, sg, vp, z, 4, 2)
+    assert ref.shape == base.shape
+    assert bool(jnp.isfinite(ref).all())
