@@ -530,6 +530,55 @@ def main() -> None:
         "fused_two_stage_inference_rtf": round(rtf, 1),
         "fused_two_stage_inference_rtf_waveform_head": round(wf_rtf, 1),
     }
+
+    def bench_refined_rtf(res: dict, n_gl: int = 8) -> None:
+        # Headline preset + warm-started GL consistency refinement
+        # (ops/griffin_lim.py; DESIGN.md §19): prices the quality knob in
+        # RTF terms. Same device-loop methodology and noise filter.
+        from music_synthesis_tpu.infer.generate import generate_refined
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def many_ref(n: int, loop_key):
+            def body(carry, i):
+                zi = jax.random.normal(
+                    jax.random.fold_in(loop_key, i),
+                    (batch, cfg.specgan.latent_dim),
+                )
+                wav = generate_refined(
+                    cfg, specgan_params, vocoder_params, zi, n_gl)
+                return carry + jnp.sum(jnp.abs(wav)), None
+
+            total, _ = lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return total
+
+        def run_ref(n: int, r: int) -> float:
+            t0 = time.perf_counter()
+            v = float(many_ref(n, jax.random.fold_in(kz, 31000 * n + r)))
+            assert v > 0
+            return time.perf_counter() - t0
+
+        run_ref(1, 0)
+        run_ref(n_iters, 0)
+        ref_per = []
+        for r in (1, 2):
+            t1 = run_ref(1, r)
+            tn = run_ref(n_iters, r)
+            per = (tn - t1) / (n_iters - 1)
+            if per > 0:
+                ref_per.append(per)
+            log(f"refined run {r}: n=1 {t1 * 1e3:.1f} ms, n={n_iters} "
+                f"{tn * 1e3:.1f} ms -> {per * 1e3:.3f} ms/call")
+        assert ref_per, "refined timing runs were all noise-dominated"
+        ref_rtf = audio_sec_per_call / min(ref_per)
+        log(f"refined preset (+{n_gl} GL projections): "
+            f"{min(ref_per) * 1e3:.2f} ms/call -> RTF {ref_rtf:.0f}x")
+        res["fused_two_stage_inference_rtf_gl_refined"] = round(ref_rtf, 1)
+        res["gl_refine_n_iter"] = n_gl
+
+    try:
+        bench_refined_rtf(results)
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench_refined_rtf] failed (non-fatal): {e!r}")
     bench_stage2_step(results)
     # The remaining BASELINE scenarios + the Pallas A/B are best-effort:
     # never let them cost the headline artifact.
