@@ -49,7 +49,10 @@ import numpy as np
 
 from music_synthesis_tpu import zoo
 from music_synthesis_tpu.config import E2E_INFERENCE, PipelineConfig
-from music_synthesis_tpu.infer.generate import generate_long
+from music_synthesis_tpu.infer.generate import (
+    generate_long,
+    generate_long_refined,
+)
 from music_synthesis_tpu.utils.wav import write_wav
 
 __all__ = ["ServeConfig", "SynthService", "make_server"]
@@ -92,6 +95,11 @@ class ServeConfig:
     # fixed-shape programs per patch, so duration is unbounded in compile
     # terms; this only bounds a single request's wall time.
     max_stream_seconds: float = 600.0
+    # Warm-started Griffin-Lim consistency refinement of every served clip
+    # (ops/griffin_lim.py; measured quality/RTF trade in DESIGN.md §19).
+    # Deployment-level (not per-request): one compiled program per bucket.
+    # /stream is never refined — its blocks are synthesized incrementally.
+    gl_refine: int = 0
 
 
 def _load_entry(name: str, kind: str, root) -> zoo.PretrainedEntry:
@@ -140,6 +148,17 @@ class SynthService:
                 f"specgan.n_frames ({cfg.specgan.n_frames})")
         self.cfg = cfg
 
+        if serve_cfg.gl_refine > 0:
+            # Bake the iteration count in as a default (static by
+            # construction, so both jit paths below stay signature-
+            # compatible with generate_long).
+            n_gl = serve_cfg.gl_refine
+
+            def _gen_fn(cfg_, cp, vp, z, cf, _n=n_gl):
+                return generate_long_refined(cfg_, cp, vp, z, cf, _n)
+        else:
+            _gen_fn = generate_long
+
         if serve_cfg.mesh_devices > 1:
             from music_synthesis_tpu.parallel.mesh import (
                 batch_sharding, make_mesh, replicated)
@@ -160,12 +179,12 @@ class SynthService:
                 self._vocoder,
                 params=jax.device_put(self._vocoder.params, repl))
             self._fn = jax.jit(
-                generate_long, static_argnums=(0, 4),
+                _gen_fn, static_argnums=(0, 4),
                 in_shardings=(repl, repl, batch_sharding(mesh)),
                 out_shardings=batch_sharding(mesh),
             )
         else:
-            self._fn = jax.jit(generate_long, static_argnums=(0, 4))
+            self._fn = jax.jit(_gen_fn, static_argnums=(0, 4))
         self._dispatch = threading.Lock()
         self._m_lock = threading.Lock()
         self._requests = 0

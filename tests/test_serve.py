@@ -398,3 +398,19 @@ def test_http_stream_endpoint(http_server, service):
 
     r, _ = _req(http_server, "POST", "/stream", {"seconds": -1})
     assert r.status == 400
+
+
+def test_gl_refined_serving_shapes_and_differs(tiny_zoo, service):
+    """gl_refine deployment knob: same request surface and shapes, audio
+    actually changed by the consistency projections."""
+    sc = ServeConfig(
+        composer="composer_t", vocoder="vocoder_t", zoo_root=str(tiny_zoo),
+        batch_buckets=(1,), patch_buckets=(2,),
+        crossfade_frames=4, target_rms=0.0, gl_refine=2,
+    )
+    svc = SynthService(sc, base_cfg=TINY, warmup=False)
+    base, _ = service.synth(seconds=0.3, n_clips=1, seed=11, target_rms=0.0)
+    ref, _ = svc.synth(seconds=0.3, n_clips=1, seed=11)
+    assert ref.shape == base.shape
+    assert np.isfinite(ref).all()
+    assert not np.allclose(ref, base)
