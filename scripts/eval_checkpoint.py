@@ -23,7 +23,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--run", required=True, help="training outdir (with ckpt/)")
+    ap.add_argument("--run", default=None, help="training outdir (with ckpt/)")
+    ap.add_argument("--zoo", default=None,
+                    help="evaluate a shipped zoo vocoder entry instead of a "
+                         "run checkpoint (the entry's own config/frontend/"
+                         "mel-scaler are used; needed when run ckpts are "
+                         "gone but the exported weights survive)")
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--out", default=None, help="default: RUN/eval")
     ap.add_argument("--preset", choices=["default", "tiny"], default="default")
@@ -60,6 +65,36 @@ def main() -> None:
     from music_synthesis_tpu.train.checkpoint import CheckpointManager, abstract_state
     from music_synthesis_tpu.utils.report import write_report
     from music_synthesis_tpu.utils.wav import write_wav
+
+    if (args.run is None) == (args.zoo is None):
+        ap.error("exactly one of --run / --zoo is required")
+
+    if args.zoo is not None:
+        from music_synthesis_tpu import zoo as zoo_mod
+
+        entry = zoo_mod.load_pretrained(args.zoo)
+        if entry.kind != "vocoder":
+            ap.error(f"--zoo entry {args.zoo!r} is kind={entry.kind!r}; "
+                     "copy-synthesis eval needs a vocoder")
+        out = (Path(args.out) if args.out
+               else Path("runs") / f"zoo_eval_{args.zoo}")
+        out.mkdir(parents=True, exist_ok=True)
+        # The card pins vocoder/frontend/mel-scaler; the judged-metric
+        # config (stft_loss resolutions) comes from the preset.
+        cfg = TINY if args.preset == "tiny" else PipelineConfig()
+        cfg = dataclasses.replace(
+            cfg, vocoder=entry.config,
+            frontend=entry.frontend or cfg.frontend,
+            mel_scaler=entry.mel_scaler or cfg.mel_scaler,
+        )
+        if entry.mel_scaler is not None:
+            print(f"using zoo mel scaler: shift={entry.mel_scaler.shift} "
+                  f"scale={entry.mel_scaler.scale}")
+        g = entry.params
+        step = int(entry.card.get("metrics", {}).get("step", 0) or 0)
+        which = "zoo"
+        print(f"zoo entry {args.zoo} ({entry.card.get('n_params')} params)")
+        return eval_body(args, cfg, g, step, which, out)
 
     run = Path(args.run)
     out = Path(args.out) if args.out else run / "eval"
@@ -107,6 +142,20 @@ def main() -> None:
     g = state.g_ema if state.g_ema is not None else state.g_params
     which = "ema" if state.g_ema is not None else "raw"
     print(f"checkpoint step {step} ({which} generator weights)")
+    eval_body(args, cfg, g, step, which, out)
+
+
+def eval_body(args, cfg, g, step, which, out) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from music_synthesis_tpu.data.dataset import AudioDataset
+    from music_synthesis_tpu.losses.stft_loss import multires_stft_loss
+    from music_synthesis_tpu.models.vocoder import Vocoder
+    from music_synthesis_tpu.train import stage2
+    from music_synthesis_tpu.utils.report import write_report
+    from music_synthesis_tpu.utils.wav import write_wav
 
     seg = int(args.seconds * cfg.frontend.sample_rate)
     seg = seg // cfg.frontend.hop_length * cfg.frontend.hop_length

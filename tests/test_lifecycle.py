@@ -90,6 +90,20 @@ def test_train_export_serve(tmp_path, monkeypatch):
     stats = json.loads((run / "mel_stats.json").read_text())
     assert abs(card["mel_scaler"]["shift"] - stats["shift"]) < 1e-6
 
+    # Zoo-entry evaluation (--zoo): the path a user takes when only the
+    # exported weights survive (e.g. run checkpoints lost to a reboot —
+    # DESIGN.md §19 methodology note). Must reproduce the ckpt-based
+    # eval exactly: same EMA weights, same mel scaler, same clips.
+    zoo_eval = tmp_path / "zoo_eval"
+    _run_script("eval_checkpoint", [
+        "--zoo", str(zoo_root / "voc_lifecycle"), "--corpus", str(corpus),
+        "--preset", "tiny", "--n-clips", "1", "--seconds", "0.5",
+        "--out", str(zoo_eval),
+    ], monkeypatch)
+    zev = json.loads((zoo_eval / "eval.json").read_text())
+    assert abs(zev["copy_synthesis_multires_stft_distance_mean"]
+               - ev["copy_synthesis_multires_stft_distance_mean"]) < 1e-4
+
     # Composer: a tiny stage-1 run exported the same way.
     run1 = tmp_path / "run1"
     _run_script("train_stage1", [
