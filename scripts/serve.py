@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--coalesce-ms", type=float, default=0.0,
                     help="merge concurrent requests into one device call "
                          "within this window (0 = off)")
+    ap.add_argument("--gl-refine", type=int, default=0,
+                    help="warm-started Griffin-Lim consistency projections "
+                         "per served clip (refined-quality deployment: "
+                         "--vocoder vocoder_istft_phase --gl-refine 8, "
+                         "DESIGN.md §19); 0 = fastest, off")
     ap.add_argument("--device", choices=["cpu", "default"], default="default")
     args = ap.parse_args()
 
@@ -56,6 +61,7 @@ def main() -> None:
         mesh_devices=args.mesh,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         coalesce_window_ms=args.coalesce_ms,
+        gl_refine=args.gl_refine,
     )
     print(f"loading {args.composer} + {args.vocoder}; "
           f"warming {len(sc.batch_buckets) * len(sc.patch_buckets)} "
