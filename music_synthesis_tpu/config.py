@@ -198,6 +198,17 @@ class MRDConfig:
     # lanes; same parameters, same math (checkpoints interchange), measured
     # motivation in docs/DESIGN.md §11.
     f_fold: int = 0
+    # Head input representation. "logmag" (default, reference-shaped) feeds
+    # log|STFT| — blind to phase by construction, which is why every trained
+    # vocoder carries ~1.8x the phase jitter of real audio (DESIGN.md §15).
+    # "complex" feeds the power-law-compressed complex STFT as two channels,
+    # [Re, Im] of |S|^p * e^{i*phase} — magnitude-bounded but phase-exact, so
+    # the adversarial gradient penalizes incoherent phase directly (the
+    # Encodec/DAC-style complex spectral D; PAPERS.md). Changes conv_0's
+    # input-channel count: checkpoints do NOT interchange between modes.
+    input_mode: str = "logmag"
+    # Magnitude-compression exponent p for input_mode="complex".
+    complex_compression: float = 0.3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,7 @@ import numpy as np
 
 from music_synthesis_tpu.config import MRDConfig, MSDConfig
 from music_synthesis_tpu.ops.conv import WNConv, avg_pool1d
-from music_synthesis_tpu.ops.frontend import magnitude_stft
+from music_synthesis_tpu.ops.frontend import magnitude_stft, stft
 
 __all__ = [
     "ScaleDiscriminator",
@@ -113,11 +113,27 @@ class STFTDiscriminator(nn.Module):
     use_weight_norm: bool = True
     compute_dtype: str = "float32"
     f_fold: int = 0
+    input_mode: str = "logmag"
+    compression: float = 0.3
 
     @nn.compact
     def __call__(self, wav: jax.Array):
-        spec = magnitude_stft(wav, self.n_fft, self.hop, self.win)
-        x = jnp.log(spec)[..., None]  # [B, T, F, 1]
+        if self.input_mode == "complex":
+            # Phase-aware input (MRDConfig.input_mode docs): the power-law-
+            # compressed complex STFT |S|^p * e^{i phi} as [Re, Im] channels.
+            # Computed as S * |S|^(p-1); the smooth eps floor in |S| bounds
+            # the compression factor, and d/dS stays finite everywhere.
+            s_c = stft(wav, self.n_fft, self.hop, self.win)
+            mag = jnp.sqrt(jnp.real(s_c) ** 2 + jnp.imag(s_c) ** 2 + 1e-7)
+            scale = mag ** (self.compression - 1.0)
+            x = jnp.stack(
+                [jnp.real(s_c) * scale, jnp.imag(s_c) * scale], axis=-1
+            )  # [B, T, F, 2]
+        elif self.input_mode == "logmag":
+            spec = magnitude_stft(wav, self.n_fft, self.hop, self.win)
+            x = jnp.log(spec)[..., None]  # [B, T, F, 1]
+        else:
+            raise ValueError(f"unknown input_mode {self.input_mode!r}")
         feats = []
         layer_specs = [
             ((3, 9), (1, 1)),
@@ -130,10 +146,12 @@ class STFTDiscriminator(nn.Module):
         if s > 1:
             from music_synthesis_tpu.ops.conv import FFoldedWNConv2d
 
-            b, t, f_log, _ = x.shape
+            b, t, f_log, c_in = x.shape
             fb = -(-f_log // s)
             x = jnp.pad(x, ((0, 0), (0, 0), (0, fb * s - f_log), (0, 0)))
-            x = x.reshape(b, t, fb, s)  # fold: f = s*fb + fp
+            # fold: f = s*fb + fp, folded channel fp*c_in + c (the layout
+            # FFoldedWNConv2d expects; c_in = 1 logmag, 2 complex).
+            x = x.reshape(b, t, fb, s * c_in)
 
             def unfold(y, f_valid):
                 bb, tt, fbb, sc = y.shape
@@ -190,7 +208,9 @@ class MultiResSTFTDiscriminator(nn.Module):
             logit, feats = STFTDiscriminator(
                 n_fft, hop, win, self.cfg.channels, self.cfg.leaky_slope,
                 self.cfg.use_weight_norm, self.cfg.compute_dtype,
-                self.cfg.f_fold, name=f"res_{n_fft}",
+                self.cfg.f_fold, input_mode=self.cfg.input_mode,
+                compression=self.cfg.complex_compression,
+                name=f"res_{n_fft}",
             )(wav)
             logits.append(logit)
             features.append(feats)

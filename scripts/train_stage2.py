@@ -94,6 +94,12 @@ def main() -> None:
     ap.add_argument("--f-fold", type=int, default=0,
                     help="MRD F-axis space-to-depth factor (4 = 128-lane "
                          "convs; identical math, checkpoints interchange)")
+    ap.add_argument("--mrd-complex", action="store_true",
+                    help="phase-aware MRD: feed the compressed complex STFT "
+                         "([Re, Im] of |S|^0.3 e^{i phi}) instead of "
+                         "log|STFT|, so the adversarial gradient penalizes "
+                         "incoherent phase (targets the ~1.8x phase-jitter "
+                         "gap; MRDConfig.input_mode docs)")
     ap.add_argument("--bf16-disc", action="store_true",
                     help="bfloat16 compute in both discriminators (MXU-native)")
     ap.add_argument("--bf16-gen", action="store_true",
@@ -169,6 +175,8 @@ def main() -> None:
         msd = dataclasses.replace(msd, dense_groups_max_g=args.dense_groups)
     if args.f_fold:
         mrd = dataclasses.replace(mrd, f_fold=args.f_fold)
+    if args.mrd_complex:
+        mrd = dataclasses.replace(mrd, input_mode="complex")
     cfg = dataclasses.replace(
         base,
         vocoder=vocoder,
