@@ -180,6 +180,13 @@ def eval_body(args, cfg, g, step, which, out) -> None:
         phase_jitter_ratio,
         n_fft=cfg.frontend.n_fft, hop_length=cfg.frontend.hop_length))
 
+    # Second fidelity axis (ops/cepstrum.py): mel-cepstral distortion in dB
+    # compares low-order spectral-envelope shape rather than bin-wise
+    # magnitudes; standard in the vocoder literature (PAPERS.md).
+    from music_synthesis_tpu.ops.cepstrum import mcd
+
+    mcd_fn = jax.jit(functools.partial(mcd, cfg=cfg.frontend))
+
     refine_fn = None
     if args.gl_refine:
         from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
@@ -206,6 +213,7 @@ def eval_body(args, cfg, g, step, which, out) -> None:
     clips, dists, rms_ratios, gl_dists = [], [], [], []
     jitters, gl_jitters = [], []
     ref_dists, ref_jitters = [], []
+    mcds, gl_mcds = [], []
     for i in range(args.n_clips):
         # Held-out step indices far from any training step.
         real = ds.sample_batch(2**29 + i, 1, seed=1234)
@@ -214,6 +222,7 @@ def eval_body(args, cfg, g, step, which, out) -> None:
         d = float(dist_fn(y, x))
         dists.append(d)
         jitters.append(float(jitter_fn(y, x)))
+        mcds.append(float(mcd_fn(y, x)))
         # Amplitude health: the spectral distance is insensitive to broad
         # level errors (ROADMAP quality lead: outputs ran ~10x quiet), so
         # report the resynth/real RMS ratio alongside it.
@@ -243,6 +252,7 @@ def eval_body(args, cfg, g, step, which, out) -> None:
             y_gl = gl_fn(x)[:, : x.shape[1]]
             gl_dists.append(float(dist_fn(y_gl, x)))
             gl_jitters.append(float(jitter_fn(y_gl, x)))
+            gl_mcds.append(float(mcd_fn(y_gl, x)))
             clips.append((f"griffin-lim {i} "
                           f"(stft_dist={gl_dists[-1]:.4f})",
                           np.asarray(y_gl[0])))
@@ -254,6 +264,7 @@ def eval_body(args, cfg, g, step, which, out) -> None:
         "copy_synthesis_multires_stft_distance_std": float(np.std(dists)),
         "resynth_rms_over_real_rms_mean": float(np.mean(rms_ratios)),
         "phase_jitter_ratio_mean": float(np.mean(jitters)),
+        "mcd_db_mean": float(np.mean(mcds)),
         "n_clips": args.n_clips,
         "generator_weights": 0.0 if which == "raw" else 1.0,
     }
@@ -267,6 +278,7 @@ def eval_body(args, cfg, g, step, which, out) -> None:
             np.mean(gl_dists))
         metrics["griffin_lim_phase_jitter_ratio_mean"] = float(
             np.mean(gl_jitters))
+        metrics["griffin_lim_mcd_db_mean"] = float(np.mean(gl_mcds))
     (out / "eval.json").write_text(json.dumps(metrics, indent=1))
     write_report(out / "report.html",
                  f"copy-synthesis eval @ step {step} ({which})",
