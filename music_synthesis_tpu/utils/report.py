@@ -78,8 +78,15 @@ def write_report(
     if metrics:
         parts.append("<table><tr><th>metric</th><th>value</th></tr>")
         for k, v in metrics.items():
+            # Scalars render numerically; structured values (e.g. the
+            # per-clip arrays eval_checkpoint.py persists) are skipped —
+            # the table is a summary, eval.json carries the full record.
+            if isinstance(v, (int, float)):
+                cell = f"{float(v):.6g}"
+            else:
+                continue
             parts.append(
-                f"<tr><td>{html.escape(str(k))}</td><td>{float(v):.6g}</td></tr>"
+                f"<tr><td>{html.escape(str(k))}</td><td>{cell}</td></tr>"
             )
         parts.append("</table>")
     for i, (caption, wav) in enumerate(clips):

@@ -267,6 +267,16 @@ def eval_body(args, cfg, g, step, which, out) -> None:
         "mcd_db_mean": float(np.mean(mcds)),
         "n_clips": args.n_clips,
         "generator_weights": 0.0 if which == "raw" else 1.0,
+        # Per-clip values: the held-out clips are deterministic (seed=1234,
+        # step 2**29+i), so evals of different checkpoints on the same corpus
+        # score the SAME clips — persisting them enables paired-delta
+        # comparisons (much tighter than comparing 8-clip means).
+        "per_clip": {
+            "dist": dists,
+            "jitter": jitters,
+            "mcd_db": mcds,
+            "rms_ratio": rms_ratios,
+        },
     }
     if ref_dists:
         metrics["gl_refine_n_iter"] = args.gl_refine
@@ -279,6 +289,8 @@ def eval_body(args, cfg, g, step, which, out) -> None:
         metrics["griffin_lim_phase_jitter_ratio_mean"] = float(
             np.mean(gl_jitters))
         metrics["griffin_lim_mcd_db_mean"] = float(np.mean(gl_mcds))
+        metrics["per_clip"]["gl_dist"] = gl_dists
+        metrics["per_clip"]["gl_jitter"] = gl_jitters
     (out / "eval.json").write_text(json.dumps(metrics, indent=1))
     write_report(out / "report.html",
                  f"copy-synthesis eval @ step {step} ({which})",
