@@ -119,4 +119,5 @@ class MusicNetDataset:
 
     def sample_batch(self, step: int, batch_size: int,
                      seed: int = 0) -> np.ndarray:
+        """Step-seeded deterministic segment batch ``[B, segment_length]``."""
         return self.audio.sample_batch(step, batch_size, seed)

@@ -46,6 +46,7 @@ def _load():
 
 
 def available() -> bool:
+    """True when the C++ IO library is built and loadable (else scipy path)."""
     return _load() is not None
 
 

@@ -82,6 +82,7 @@ def d_loss_fn(kind: str):
 
 
 def g_loss_fn(kind: str):
+    """Generator-loss selector matching :func:`d_loss_fn`'s ``kind``."""
     return {"hinge": hinge_g_loss, "nonsat": nonsat_g_loss}[kind]
 
 

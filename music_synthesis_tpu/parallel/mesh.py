@@ -50,6 +50,7 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (params, optimizer state, rng)."""
     return NamedSharding(mesh, P())
 
 

@@ -61,4 +61,5 @@ def make_shardmap_stage2_step(cfg: PipelineConfig, mesh: Mesh) -> Callable:
 
 
 def make_shardmap_stage1_step(cfg: PipelineConfig, mesh: Mesh) -> Callable:
+    """Stage-1 twin of :func:`make_shardmap_stage2_step` (mel-batch input)."""
     return _make(stage1.train_step_impl, cfg, mesh)

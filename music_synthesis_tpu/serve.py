@@ -221,6 +221,7 @@ class SynthService:
         return max(self.serve_cfg.patch_buckets)
 
     def batch_bucket(self, n_clips: int) -> int:
+        """Smallest warm-compiled batch bucket that fits ``n_clips``."""
         for b in sorted(self.serve_cfg.batch_buckets):
             if b >= n_clips:
                 return b
@@ -386,6 +387,7 @@ class SynthService:
     # -- introspection -----------------------------------------------------
 
     def health(self) -> dict:
+        """GET /health payload: device kind + warm-bucket inventory."""
         dev = jax.devices()[0]
         return {
             "status": "ok",
@@ -397,12 +399,14 @@ class SynthService:
         }
 
     def models(self) -> dict:
+        """GET /models payload: loaded zoo entries and their model cards."""
         return {
             "composer": self._composer.card,
             "vocoder": self._vocoder.card,
         }
 
     def metrics(self) -> dict:
+        """GET /metrics payload: request/device-call counts, latency pXX."""
         with self._m_lock:
             lat = sorted(self._latencies)
             n = len(lat)
@@ -417,6 +421,7 @@ class SynthService:
             }
 
     def count_error(self) -> None:
+        """Increment the served-error counter (thread-safe)."""
         with self._m_lock:
             self._errors += 1
 
@@ -505,6 +510,7 @@ def wav_header(sample_rate: int, n_samples: int) -> bytes:
 
 
 def pcm16(block: np.ndarray) -> bytes:
+    """Float [-1, 1] -> little-endian 16-bit PCM bytes (clipping, not wrapping)."""
     return (np.clip(block, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
 
 

@@ -44,6 +44,7 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, wait: bool = False) -> None:
+        """Async-save ``state`` at ``step``; ``wait=True`` blocks until durable."""
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         if wait:
             self._mgr.wait_until_finished()
@@ -67,10 +68,13 @@ class CheckpointManager:
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
     def latest_step(self) -> int | None:
+        """Newest step on disk, or None if the directory holds no checkpoints."""
         return self._mgr.latest_step()
 
     def wait_until_finished(self) -> None:
+        """Block until all pending async saves are durable."""
         self._mgr.wait_until_finished()
 
     def close(self) -> None:
+        """Flush pending saves and release the underlying orbax manager."""
         self._mgr.close()

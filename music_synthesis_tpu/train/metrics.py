@@ -13,12 +13,15 @@ from typing import IO, Mapping
 
 
 class MetricsLogger:
+    """Append-only JSONL scalar logger (SURVEY.md §5.5); also echoes to stdout."""
+
     def __init__(self, path: str | None = None, echo: bool = True):
         self._fh: IO | None = open(path, "a") if path else None
         self._echo = echo
         self._t0 = time.monotonic()
 
     def log(self, step: int, metrics: Mapping[str, object]) -> None:
+        """Write one record: ``{"step": step, "wall_s": ..., **metrics}``."""
         rec = {
             "step": int(step),
             "wall_s": round(time.monotonic() - self._t0, 3),
@@ -36,5 +39,6 @@ class MetricsLogger:
             print(line)
 
     def close(self) -> None:
+        """Close the JSONL file handle (no-op for echo-only loggers)."""
         if self._fh:
             self._fh.close()

@@ -34,10 +34,12 @@ __all__ = [
 
 
 def make_models(cfg: PipelineConfig):
+    """Instantiate the stage-1 composer G/D pair from config (C6, C7)."""
     return SpectrogramGenerator(cfg.specgan), SpectrogramDiscriminator(cfg.specgan)
 
 
 def make_train_state(cfg: PipelineConfig, rng: jax.Array) -> GANState:
+    """Initialize params + both Adam optimizer states for stage 1."""
     gen, disc = make_models(cfg)
     s = cfg.specgan
     rng, gk, dk = jax.random.split(rng, 3)

@@ -40,6 +40,7 @@ __all__ = ["make_models", "make_train_state", "train_step", "train_step_impl", "
 
 
 def make_models(cfg: PipelineConfig):
+    """Instantiate the vocoder G and combined MSD+MRD D from config (C8-C10)."""
     return Vocoder(cfg.vocoder), CombinedDiscriminator(cfg.msd, cfg.mrd)
 
 
@@ -65,6 +66,7 @@ def conditioning_mel(wav: jax.Array, cfg: PipelineConfig) -> jax.Array:
 
 
 def make_train_state(cfg: PipelineConfig, rng: jax.Array) -> GANState:
+    """Initialize params + both Adam optimizer states for stage 2."""
     gen, disc = make_models(cfg)
     rng, gk, dk = jax.random.split(rng, 3)
     t = cfg.train

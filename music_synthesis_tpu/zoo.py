@@ -101,6 +101,7 @@ def save_pretrained(
     notes: str = "",
     root: Path | str = ZOO_ROOT,
 ) -> Path:
+    """Write a zoo entry (msgpack weights + JSON model card) under ``root``."""
     if kind not in _KIND_TO_CONFIG:
         raise ValueError(f"kind must be one of {sorted(_KIND_TO_CONFIG)}")
     expected = _KIND_TO_CONFIG[kind]
@@ -158,6 +159,7 @@ def load_pretrained(
 
 
 def list_pretrained(root: Path | str = ZOO_ROOT) -> list[str]:
+    """Names of all zoo entries under ``root`` (sorted)."""
     root = Path(root)
     if not root.is_dir():
         return []
