@@ -221,6 +221,30 @@ def main() -> None:
         sys.exit("--pallas-frontend with --mesh > 1 requires --dp shard_map "
                  "(pallas_call has no SPMD partitioning rule under jit "
                  "sharding; the shard_map step runs the kernel per-device)")
+    if args.pallas_frontend and jax.devices()[0].platform != "cpu":
+        # Preflight the compiled kernel so a Mosaic lowering regression
+        # degrades this run to the (numerically identical, ~equal-speed at
+        # training shapes) XLA oracle instead of killing an unattended
+        # queued job hours in. Parity CI runs interpret-mode only, so this
+        # is the first compiled execution a fresh environment sees.
+        try:
+            from music_synthesis_tpu.ops.pallas_frontend import (
+                pallas_log_mel_for_vocoder,
+            )
+            probe = jax.jit(
+                lambda w: pallas_log_mel_for_vocoder(w, cfg.frontend)
+            )(jax.numpy.zeros((2, cfg.train.segment_length), "float32"))
+            jax.block_until_ready(probe)
+        except Exception as e:  # noqa: BLE001 — any lowering/runtime error
+            print(f"PALLAS PREFLIGHT FAILED ({e!r}); "
+                  "falling back to the pure-JAX oracle front-end")
+            args.pallas_frontend = False
+            cfg = dataclasses.replace(
+                cfg,
+                train=dataclasses.replace(
+                    cfg.train, use_pallas_frontend=False
+                ),
+            )
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
 
