@@ -16,6 +16,18 @@ EVAL=runs/stage2_istft_400k/eval/eval.json
 while [ ! -f /tmp/queue_r4e.done ]; do sleep 60; done
 echo "extend-watcher: queue done $(date -u)" >> "$Q"
 
+wait_tpu_pre() {
+  while true; do
+    $P scripts/runbook/tpu_probe.py >> "$Q" 2>&1 && return 0
+    sleep 45
+  done
+}
+# Compiled-Pallas parity evidence for the round (the kernel was relayouted
+# this session; interpret-mode CI can't catch Mosaic lowering drift).
+wait_tpu_pre
+timeout 1800 $P scripts/verify_tpu.py > runs/verify_tpu_r04b.txt 2>&1
+echo "extend-watcher: verify_tpu rc=$? $(date -u)" >> "$Q"
+
 NOW=$(date -u +%s); LIMIT=$(date -u -d "today $CUTOFF" +%s)
 if [ "$NOW" -ge "$LIMIT" ]; then
   echo "extend-watcher: past cutoff $CUTOFF, not extending" >> "$Q"
