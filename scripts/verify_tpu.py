@@ -38,21 +38,13 @@ def main() -> None:
 
     def check(name, ok, detail=""):
         nonlocal failures
-        print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}")
+        # flush: the artifact is read while the process may still be hung
+        # on a later check (tunnel stalls mid-run), so partial results must
+        # hit the file eagerly.
+        print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}", flush=True)
         failures += 0 if ok else 1
 
-    # 1. Compiled Pallas front-end vs fused-XLA oracle (scalar error pull).
     cfg = E2E_INFERENCE.frontend
-    wav = 0.5 * jnp.tanh(jax.random.normal(key, (4, 22050)))
-    t0 = time.perf_counter()
-
-    @jax.jit
-    def frontend_err(w):
-        return jnp.abs(pallas_log_mel(w, cfg) - log_mel(w, cfg)).max()
-
-    err = float(frontend_err(wav))
-    check("pallas front-end vs oracle", err < 2e-2,
-          f"(max log-mel err {err:.2e}, {time.perf_counter() - t0:.0f}s)")
 
     # 2. Fused two-stage inference, both presets (finite checksums).
     for name, pc in (("waveform", E2E_INFERENCE), ("istft", E2E_INFERENCE_FAST)):
@@ -135,6 +127,21 @@ def main() -> None:
     # value so CI catches miscalibration first.
     check("griffin-lim inversion (compiled)", 0 < d < 1.2,
           f"(stft dist {d:.3f}, {time.perf_counter() - t0:.0f}s)")
+
+    # 5. Compiled Pallas front-end vs fused-XLA oracle (scalar error pull).
+    # Deliberately LAST: this exercises the newest Mosaic code path (the
+    # batch-fused relayout), so if it ever hangs or dies the stable checks
+    # above are already on disk instead of lost with the process.
+    wav = 0.5 * jnp.tanh(jax.random.normal(key, (4, 22050)))
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def frontend_err(w):
+        return jnp.abs(pallas_log_mel(w, cfg) - log_mel(w, cfg)).max()
+
+    err = float(frontend_err(wav))
+    check("pallas front-end vs oracle", err < 2e-2,
+          f"(max log-mel err {err:.2e}, {time.perf_counter() - t0:.0f}s)")
 
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     sys.exit(1 if failures else 0)
