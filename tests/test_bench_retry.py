@@ -72,6 +72,32 @@ def test_hang_is_converted_to_retry_by_watchdog():
     assert "tunnel stall" in r.stderr
 
 
+def test_first_light_hang_retries_despite_healthy_init():
+    # Round-4 pathology: the tunnel serves device enumeration but every
+    # compile RPC stalls. Init-only probing returns a device and the first
+    # real jit then hangs the whole capture; the first-light gate must
+    # convert that into the same fresh-process retry as an init hang.
+    r = _run("""
+        import threading
+        bench._BENCH_INIT_DEADLINE_S = 0.5
+        bench.time.sleep = lambda s: None
+        def fake_execv(exe, argv):
+            print("EXECV_ON_LIGHT_HANG")
+            os._exit(0)
+        os.execv = fake_execv
+        ev = threading.Event()
+        class FakeDev:
+            platform = "cpu"
+        bench.jax.devices = lambda *a: [FakeDev()]   # enumeration healthy
+        bench.jax.jit = lambda f: lambda x: ev.wait(300)  # compile stalls
+        os.environ.pop("MSYNTH_BENCH_ATTEMPT", None)
+        bench.acquire_device()
+    """)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "EXECV_ON_LIGHT_HANG" in r.stdout
+    assert "tunnel stall" in r.stderr
+
+
 def test_final_attempt_hard_exits_rc1():
     r = _run("""
         bench.jax.devices = lambda *a: (_ for _ in ()).throw(
