@@ -22,6 +22,19 @@ that line reports is selected with --metric (default: inference RTF). ALL
 measured metrics — inference RTF for both presets and the stage-2 GAN
 training step time (BASELINE.json:5) with a FLOP/MFU accounting — are
 written to BENCH_FULL.json and logged to stderr.
+
+Driver-contract hardening (round 5 — round 4's record was a timeout null,
+rc=124 with the JSON line never printed):
+  * The contract line is printed to stdout IMMEDIATELY after the selected
+    headline metric is measured, and nothing else is ever written to
+    stdout, so the driver's "last stdout line" read is satisfied even if
+    a later auxiliary scenario stalls or the run is killed.
+  * BENCH_FULL.json is rewritten incrementally after every scenario.
+  * A persistent XLA compilation cache (.jax_cache/) amortizes the large
+    stage-2 compile (~8 min cold in round 4) across runs and retries.
+  * Backend-init retries carry a TOTAL wall budget across process
+    re-execs, so a dead tunnel costs bounded time instead of eating the
+    driver's whole capture window.
 """
 
 from __future__ import annotations
@@ -32,6 +45,13 @@ import os
 import sys
 import threading
 import time
+
+# Persistent compile cache — must be configured before jax initializes.
+# Keyed per backend automatically; safe to share with training scripts.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import jax
 import jax.numpy as jnp
@@ -54,16 +74,23 @@ def log(*a):
 #     thread along with the rest of the process image.
 _BENCH_ATTEMPTS = 10
 _BENCH_BACKOFF_S = 60
-_BENCH_INIT_DEADLINE_S = 240
+_BENCH_INIT_DEADLINE_S = 240    # device enumeration RPC
+_BENCH_LIGHT_DEADLINE_S = 300   # first-light compile RPC, on top of init
+_BENCH_TOTAL_BUDGET_S = 1200    # across ALL re-exec retries (advisor r4:
+                                # 10×(240+60)s of retries could eat ~50 min
+                                # of the driver's capture window)
 
 
 def acquire_device():
     attempt = int(os.environ.get("MSYNTH_BENCH_ATTEMPT", "0"))
+    first_ts = float(os.environ.setdefault(
+        "MSYNTH_BENCH_FIRST_TS", repr(time.time())))
     box: dict = {}
 
     def _probe():
         try:
             box["dev"] = jax.devices()[0]
+            box["enum_s"] = time.perf_counter()
             # First light: one tiny compile+execute+readback proves the
             # FULL RPC path before the expensive benches start. Round 4
             # observed a degraded tunnel that served device enumeration
@@ -78,23 +105,35 @@ def acquire_device():
 
     t = threading.Thread(target=_probe, daemon=True)
     t.start()
+    # Two-phase deadline (advisor r4): enumeration gets INIT seconds; once
+    # the device is visible the first-light compile gets LIGHT more, so a
+    # healthy-but-slow compile through a degraded tunnel is not
+    # misclassified as an init hang (and the retry log says which phase
+    # stalled).
     t.join(_BENCH_INIT_DEADLINE_S)
+    if "dev" in box and "light" not in box and "err" not in box:
+        log("device enumeration OK; waiting on first-light compile "
+            f"(+{_BENCH_LIGHT_DEADLINE_S}s)")
+        t.join(_BENCH_LIGHT_DEADLINE_S)
     if "light" in box:
         return box["dev"]
+    phase = ("first-light compile" if "dev" in box else "device enumeration")
     err = box.get("err", TimeoutError(
-        f"backend init / first-light compile hung > "
-        f"{_BENCH_INIT_DEADLINE_S}s (tunnel stall?)"))
-    if attempt + 1 >= _BENCH_ATTEMPTS:
-        log(f"backend init failed on final attempt "
-            f"{attempt + 1}/{_BENCH_ATTEMPTS}: {err!r}")
+        f"{phase} hung past its deadline (tunnel stall?)"))
+    spent = time.time() - first_ts
+    if attempt + 1 >= _BENCH_ATTEMPTS or spent > _BENCH_TOTAL_BUDGET_S:
+        log(f"backend init failed; giving up on final attempt "
+            f"{attempt + 1}/{_BENCH_ATTEMPTS} after {spent:.0f}s total "
+            f"(budget {_BENCH_TOTAL_BUDGET_S}s): {err!r}")
         # Hard exit: a failed axon init can leave non-daemon threads alive,
         # so a plain raise would HANG the process at interpreter shutdown
         # and the driver would never see the rc. os._exit guarantees rc=1.
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(1)
-    log(f"backend init failed (attempt {attempt + 1}/{_BENCH_ATTEMPTS}): "
-        f"{err!r}; retrying in {_BENCH_BACKOFF_S}s with a fresh process")
+    log(f"backend init failed (attempt {attempt + 1}/{_BENCH_ATTEMPTS}, "
+        f"{spent:.0f}s/{_BENCH_TOTAL_BUDGET_S}s budget spent): {err!r}; "
+        f"retrying in {_BENCH_BACKOFF_S}s with a fresh process")
     time.sleep(_BENCH_BACKOFF_S)
     os.environ["MSYNTH_BENCH_ATTEMPT"] = str(attempt + 1)
     sys.stdout.flush()
@@ -492,54 +531,107 @@ def main() -> None:
     log(f"best (istft-head headline, trained system): {best * 1e3:.2f} "
         f"ms/call -> RTF {rtf:.0f}x")
 
-    # Waveform-head preset, same methodology: the reference-faithful
-    # architecture (zoo/vocoder_rich), kept as the parity point.
-    wf = E2E_INFERENCE
-    wf_voc = Vocoder(wf.vocoder).init(k2, mel0)["params"]
+    results = {"fused_two_stage_inference_rtf": round(rtf, 1)}
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def many_wf(n: int, loop_key):
-        def body(carry, i):
-            zi = jax.random.normal(
-                jax.random.fold_in(loop_key, i),
-                (batch, wf.specgan.latent_dim),
-            )
-            wav = generate(wf, specgan_params, wf_voc, zi)
-            return carry + jnp.sum(jnp.abs(wav)), None
+    def save_results() -> None:
+        # Incremental: rewritten after every scenario so a stalled or
+        # killed run still leaves the scenarios that DID finish on disk
+        # (round 4's timeout lost everything measured after the headline).
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(results, f, indent=1)
 
-        total, _ = lax.scan(body, jnp.float32(0), jnp.arange(n))
-        return total
+    save_results()
 
-    def run_wf(n: int, r: int) -> float:
-        t0 = time.perf_counter()
-        v = float(many_wf(n, jax.random.fold_in(kz, 7000 * n + r)))
-        assert v > 0
-        return time.perf_counter() - t0
+    which = "rtf"
+    if "--metric" in sys.argv:
+        which = sys.argv[sys.argv.index("--metric") + 1]
 
-    run_wf(1, 0)
-    run_wf(n_iters, 0)
-    # Same per>0 noise filter as the headline loop: a dispatch-noise-
-    # dominated pair can yield a negative delta, which must never become
-    # a negative RTF in BENCH_FULL.json (advisor round 3).
-    wf_per = []
-    for r in (1, 2):
-        t1 = run_wf(1, r)
-        tn = run_wf(n_iters, r)
-        per = (tn - t1) / (n_iters - 1)
-        if per > 0:
-            wf_per.append(per)
-        log(f"waveform run {r}: n=1 {t1 * 1e3:.1f} ms, n={n_iters} "
-            f"{tn * 1e3:.1f} ms -> {per * 1e3:.3f} ms/call")
-    assert wf_per, "waveform-head timing runs were all noise-dominated"
-    wf_best = min(wf_per)
-    wf_rtf = audio_sec_per_call / wf_best
-    log(f"waveform-head preset (reference-faithful): {wf_best * 1e3:.2f} "
-        f"ms/call -> RTF {wf_rtf:.0f}x")
+    def emit_contract() -> None:
+        # THE driver contract: exactly one JSON line on stdout, printed the
+        # moment the selected headline metric exists. Everything else in
+        # this file logs to stderr, so this stays the last (and only)
+        # stdout line no matter which later scenario stalls or is killed.
+        if which == "stage2_step":
+            # vs_baseline: ratio of the 50 ms round-2 target to the
+            # measured fast-recipe step (>1 = beating the target). The
+            # 50 ms bar is SELF-SET (no reference GPU number exists —
+            # BASELINE.md), so the JSON names its baseline explicitly.
+            ms = results["stage2_gan_step_fast_ms"]
+            line = {
+                "metric": "stage2_gan_step_ms",
+                "value": ms,
+                "unit": "ms_per_step_b16x8192",
+                "vs_baseline": round(50.0 / ms, 3),
+                "baseline":
+                    "self-target-50ms (no reference number available)",
+            }
+        else:
+            line = {
+                "metric": "fused_two_stage_inference_rtf",
+                "value": round(rtf, 1),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(rtf / 500.0, 3),
+                "baseline": "driver-target-500x (BASELINE.json:5)",
+            }
+        print(json.dumps(line), flush=True)
 
-    results = {
-        "fused_two_stage_inference_rtf": round(rtf, 1),
-        "fused_two_stage_inference_rtf_waveform_head": round(wf_rtf, 1),
-    }
+    stage2_done = False
+    if which == "rtf":
+        emit_contract()
+    else:
+        # Selected metric is the training step: measure it FIRST so its
+        # contract line lands before any auxiliary scenario can stall.
+        bench_stage2_step(results)
+        stage2_done = True
+        save_results()
+        emit_contract()
+
+    def bench_waveform_head(res: dict) -> None:
+        # Waveform-head preset, same methodology: the reference-faithful
+        # architecture (zoo/vocoder_rich), kept as the parity point.
+        wf = E2E_INFERENCE
+        wf_voc = Vocoder(wf.vocoder).init(k2, mel0)["params"]
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def many_wf(n: int, loop_key):
+            def body(carry, i):
+                zi = jax.random.normal(
+                    jax.random.fold_in(loop_key, i),
+                    (batch, wf.specgan.latent_dim),
+                )
+                wav = generate(wf, specgan_params, wf_voc, zi)
+                return carry + jnp.sum(jnp.abs(wav)), None
+
+            total, _ = lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return total
+
+        def run_wf(n: int, r: int) -> float:
+            t0 = time.perf_counter()
+            v = float(many_wf(n, jax.random.fold_in(kz, 7000 * n + r)))
+            assert v > 0
+            return time.perf_counter() - t0
+
+        run_wf(1, 0)
+        run_wf(n_iters, 0)
+        # Same per>0 noise filter as the headline loop: a dispatch-noise-
+        # dominated pair can yield a negative delta, which must never
+        # become a negative RTF in BENCH_FULL.json (advisor round 3).
+        wf_per = []
+        for r in (1, 2):
+            t1 = run_wf(1, r)
+            tn = run_wf(n_iters, r)
+            per = (tn - t1) / (n_iters - 1)
+            if per > 0:
+                wf_per.append(per)
+            log(f"waveform run {r}: n=1 {t1 * 1e3:.1f} ms, n={n_iters} "
+                f"{tn * 1e3:.1f} ms -> {per * 1e3:.3f} ms/call")
+        assert wf_per, "waveform-head timing runs were all noise-dominated"
+        wf_best = min(wf_per)
+        wf_rtf = audio_sec_per_call / wf_best
+        log(f"waveform-head preset (reference-faithful): {wf_best * 1e3:.2f}"
+            f" ms/call -> RTF {wf_rtf:.0f}x")
+        res["fused_two_stage_inference_rtf_waveform_head"] = round(wf_rtf, 1)
 
     def bench_refined_rtf(res: dict, n_gl: int = 8) -> None:
         # Headline preset + warm-started GL consistency refinement
@@ -585,48 +677,21 @@ def main() -> None:
         res["fused_two_stage_inference_rtf_gl_refined"] = round(ref_rtf, 1)
         res["gl_refine_n_iter"] = n_gl
 
-    try:
-        bench_refined_rtf(results)
-    except Exception as e:  # noqa: BLE001
-        log(f"[bench_refined_rtf] failed (non-fatal): {e!r}")
-    bench_stage2_step(results)
-    # The remaining BASELINE scenarios + the Pallas A/B are best-effort:
-    # never let them cost the headline artifact.
-    for extra in (bench_stage1_fwd_loss, bench_frontend_cpu_clip,
-                  bench_frontend_ab):
+    # Auxiliary scenarios — ALL best-effort after the contract line is out:
+    # none of them may cost the headline artifact, and each one that
+    # finishes lands in BENCH_FULL.json immediately.
+    extras = [bench_waveform_head, bench_refined_rtf]
+    if not stage2_done:
+        extras.append(bench_stage2_step)
+    extras += [bench_stage1_fwd_loss, bench_frontend_cpu_clip,
+               bench_frontend_ab]
+    for extra in extras:
         try:
             extra(results)
         except Exception as e:  # noqa: BLE001
             log(f"[{extra.__name__}] failed (non-fatal): {e!r}")
-    with open(os.path.join(os.path.dirname(__file__) or ".",
-                           "BENCH_FULL.json"), "w") as f:
-        json.dump(results, f, indent=1)
+        save_results()
     log(f"all metrics: {results}")
-
-    which = "rtf"
-    if "--metric" in sys.argv:
-        which = sys.argv[sys.argv.index("--metric") + 1]
-    if which == "stage2_step":
-        # vs_baseline: ratio of the 50 ms round-2 target to the measured
-        # fast-recipe step (>1 = beating the target). The 50 ms bar is
-        # SELF-SET (no reference GPU number exists — BASELINE.md), so the
-        # JSON names its baseline explicitly.
-        ms = results["stage2_gan_step_fast_ms"]
-        print(json.dumps({
-            "metric": "stage2_gan_step_ms",
-            "value": ms,
-            "unit": "ms_per_step_b16x8192",
-            "vs_baseline": round(50.0 / ms, 3),
-            "baseline": "self-target-50ms (no reference number available)",
-        }))
-    else:
-        print(json.dumps({
-            "metric": "fused_two_stage_inference_rtf",
-            "value": round(rtf, 1),
-            "unit": "x_realtime_per_chip",
-            "vs_baseline": round(rtf / 500.0, 3),
-            "baseline": "driver-target-500x (BASELINE.json:5)",
-        }))
 
 
 if __name__ == "__main__":

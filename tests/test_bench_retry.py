@@ -80,6 +80,7 @@ def test_first_light_hang_retries_despite_healthy_init():
     r = _run("""
         import threading
         bench._BENCH_INIT_DEADLINE_S = 0.5
+        bench._BENCH_LIGHT_DEADLINE_S = 0.5
         bench.time.sleep = lambda s: None
         def fake_execv(exe, argv):
             print("EXECV_ON_LIGHT_HANG")
@@ -96,6 +97,28 @@ def test_first_light_hang_retries_despite_healthy_init():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "EXECV_ON_LIGHT_HANG" in r.stdout
     assert "tunnel stall" in r.stderr
+    # The two-phase deadline must classify this as a compile-phase stall
+    # (advisor r4: init hang vs compile stall were indistinguishable).
+    assert "first-light compile" in r.stderr
+
+
+def test_total_budget_exhaustion_hard_exits_rc1():
+    # Advisor r4: the retry loop could burn ~50 min of the driver's capture
+    # window. A total wall budget across re-execs must cap it even when
+    # attempts remain.
+    r = _run("""
+        import time
+        bench.jax.devices = lambda *a: (_ for _ in ()).throw(
+            RuntimeError("UNAVAILABLE: tunnel"))
+        os.environ.pop("MSYNTH_BENCH_ATTEMPT", None)   # attempts remain
+        os.environ["MSYNTH_BENCH_FIRST_TS"] = repr(
+            time.time() - bench._BENCH_TOTAL_BUDGET_S - 1)
+        bench.acquire_device()
+        print("NOT REACHED")
+    """)
+    assert r.returncode == 1
+    assert "budget" in r.stderr
+    assert "NOT REACHED" not in r.stdout
 
 
 def test_final_attempt_hard_exits_rc1():
