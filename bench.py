@@ -388,13 +388,17 @@ def bench_stage1_fwd_loss(results: dict, n_iters: int = 101) -> None:
     log(f"[stage1_fwd_loss] best {min(per) * 1e3:.3f} ms/batch{b}")
 
 
-def bench_frontend_ab(results: dict, n_iters: int = 101) -> None:
+def bench_frontend_ab(results: dict, n_iters: int = 2001) -> None:
     """Fused Pallas front-end vs the pure-JAX oracle, on-device, at the
     stage-2 training batch shape [16, 8192] (VERDICT r3 weak #5: the
     framework's signature claim needs one committed A/B number).
 
     Skipped automatically on CPU (the compiled Mosaic kernel is TPU-only;
-    interpret mode would not be a performance statement).
+    interpret mode would not be a performance statement). n_iters sized so
+    the on-device signal clears the ±30 ms tunnel-RTT noise band: at 101
+    iterations this A/B measured anywhere between 0.028 and 0.089 ms for
+    the same kernel across runs (round-4's committed 0.571x "slowdown" was
+    that noise — advisor r4 item 3).
     """
     if jax.devices()[0].platform == "cpu":
         log("[frontend_ab] skipped on CPU (no compiled Mosaic kernel)")

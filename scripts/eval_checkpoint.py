@@ -47,9 +47,11 @@ def main() -> None:
                          "(ops/griffin_lim.py::griffin_lim_refine)")
     args = ap.parse_args()
 
-    from music_synthesis_tpu.utils.env import maybe_force_cpu
+    from music_synthesis_tpu.utils.env import (
+        enable_persistent_compile_cache, maybe_force_cpu)
 
     maybe_force_cpu()
+    enable_persistent_compile_cache()
 
     import jax
     import jax.numpy as jnp

@@ -84,9 +84,11 @@ def main() -> None:
     ap.add_argument("--ram-budget-mb", type=int, default=0)
     args = ap.parse_args()
 
-    from music_synthesis_tpu.utils.env import maybe_force_cpu
+    from music_synthesis_tpu.utils.env import (
+        enable_persistent_compile_cache, maybe_force_cpu)
 
     maybe_force_cpu()
+    enable_persistent_compile_cache()
 
     import jax
     import jax.numpy as jnp

@@ -123,9 +123,11 @@ def main() -> None:
                     help="decoded-corpus RAM budget; 0 = load fully in memory")
     args = ap.parse_args()
 
-    from music_synthesis_tpu.utils.env import maybe_force_cpu
+    from music_synthesis_tpu.utils.env import (
+        enable_persistent_compile_cache, maybe_force_cpu)
 
     maybe_force_cpu()
+    enable_persistent_compile_cache()
 
     import jax
     import jax.numpy as jnp

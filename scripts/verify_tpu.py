@@ -22,6 +22,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from music_synthesis_tpu.utils.env import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from music_synthesis_tpu.config import E2E_INFERENCE, E2E_INFERENCE_FAST
     from music_synthesis_tpu.infer.generate import generate
     from music_synthesis_tpu.models.specgan import SpectrogramGenerator

@@ -29,7 +29,8 @@ def test_matches_oracle(n_mels):
     cfg = FrontendConfig(n_mels=n_mels)
     wav = _signal((2, 8192))
     want = np.asarray(log_mel(wav, cfg))
-    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=16, interpret=True))
+    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=16, interpret=True,
+                                precision="exact"))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
@@ -39,7 +40,8 @@ def test_matches_oracle_non_tile_multiple():
     cfg = FrontendConfig(n_mels=32)
     wav = _signal((1, 1024 + 256 * 10))  # 11 frames, tile 8
     want = np.asarray(log_mel(wav, cfg))
-    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=8, interpret=True))
+    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=8, interpret=True,
+                                precision="exact"))
     assert got.shape == want.shape == (1, 11, 32)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
@@ -48,7 +50,8 @@ def test_magnitude_mode():
     cfg = FrontendConfig(n_mels=32, power=1.0)
     wav = _signal((1, 4096))
     want = np.asarray(log_mel(wav, cfg))
-    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=8, interpret=True))
+    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=8, interpret=True,
+                                precision="exact"))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
@@ -56,7 +59,8 @@ def test_center_mode():
     cfg = FrontendConfig(n_mels=32, center=True)
     wav = _signal((1, 4096))
     want = np.asarray(log_mel(wav, cfg))
-    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=8, interpret=True))
+    got = np.asarray(pallas_log_mel(wav, cfg, tile_frames=8, interpret=True,
+                                precision="exact"))
     assert got.shape == want.shape == (1, 4096 // 256 + 1, 32)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
@@ -66,7 +70,32 @@ def test_vocoder_variant_matches_oracle():
     wav = _signal((2, 4096))
     want = np.asarray(log_mel_for_vocoder(wav, cfg))
     got = np.asarray(
-        pallas_log_mel_for_vocoder(wav, cfg, tile_frames=8, interpret=True)
+        pallas_log_mel_for_vocoder(wav, cfg, tile_frames=8, interpret=True,
+                                   precision="exact")
     )
     assert got.shape == want.shape == (2, 16, 32)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fast_precision_parity():
+    """The production fast path (bf16x2 DFT + bf16 mel) stays within the
+    2e-2 gate scripts/verify_tpu.py enforces on hardware, and close to the
+    exact path (measured 6.5e-3 vs 6.4e-3 max err on-chip, round 5)."""
+    cfg = FrontendConfig()
+    wav = _signal((2, 8192))
+    want = np.asarray(log_mel(wav, cfg))
+    got = np.asarray(pallas_log_mel(wav, cfg, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_adaptive_tile_single_and_streamed():
+    """tile_frames=None picks one big-M tile for small inputs and 512-row
+    streamed tiles for large ones; both must match the oracle."""
+    cfg = FrontendConfig(n_mels=32)
+    for shape in ((2, 8192), (1, 300 * 1024)):
+        wav = _signal(shape)
+        want = np.asarray(log_mel(wav, cfg))
+        got = np.asarray(pallas_log_mel(wav, cfg, interpret=True,
+                                        precision="exact"))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
