@@ -73,9 +73,19 @@ if [ -s BENCH_FULL.json ]; then
   git commit -m "Round-5 early bench refresh on hardware" >> "$Q" 2>&1
 fi
 touch /tmp/r5_bench_early.done
-job verify_tpu 1200 runs/verify_tpu_r05.txt $P scripts/verify_tpu.py
+job verify_tpu 1800 runs/verify_tpu_r05.txt $P scripts/verify_tpu.py
+# Advisor r4 (medium): never present a stalled/partial verify as parity
+# evidence — commit green runs as such, and partial runs with an honest
+# message recording how far they got.
 git add runs/verify_tpu_r05.txt
-git commit -m "Round-5 compiled-Pallas parity artifact" >> "$Q" 2>&1
+if grep -q "ALL PASS" runs/verify_tpu_r05.txt; then
+  git commit -m "Round-5 compiled-Pallas parity artifact (ALL PASS)" \
+    >> "$Q" 2>&1
+else
+  n_checks=$(grep -c "^\[" runs/verify_tpu_r05.txt)
+  git commit -m "Round-5 verify_tpu PARTIAL artifact: run stalled/killed after ${n_checks} checks (not parity evidence)" \
+    >> "$Q" 2>&1
+fi
 touch /tmp/r5_verify.done
 
 # 2. Flagship long run: the cheapest fidelity lever (DESIGN §16/§20 —

@@ -48,9 +48,7 @@ def main() -> None:
         print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}", flush=True)
         failures += 0 if ok else 1
 
-    cfg = E2E_INFERENCE.frontend
-
-    # 2. Fused two-stage inference, both presets (finite checksums).
+    # 1. Fused two-stage inference, both presets (finite checksums).
     for name, pc in (("waveform", E2E_INFERENCE), ("istft", E2E_INFERENCE_FAST)):
         g1 = SpectrogramGenerator(pc.specgan).init(
             jax.random.fold_in(key, 1), jnp.zeros((1, pc.specgan.latent_dim))
@@ -68,7 +66,7 @@ def main() -> None:
         check(f"fused two-stage inference ({name} head)",
               s == s and s > 0, f"(checksum {s:.3g})")
 
-    # 3. One full stage-2 GAN training step.
+    # 2. One full stage-2 GAN training step.
     state = stage2.make_train_state(E2E_INFERENCE, jax.random.fold_in(key, 4))
     batch = 0.5 * jnp.tanh(
         jax.random.normal(jax.random.fold_in(key, 5), (4, 8192))
@@ -81,8 +79,7 @@ def main() -> None:
           f"(d={vals['d_loss']:.2f} g={vals['g_loss']:.2f}, "
           f"{time.perf_counter() - t0:.0f}s)")
 
-    # 4. Round-4 components on the compiled path.
-    # 4a. Streaming == generate_long on device (scalar error pull).
+    # 3. Streaming == generate_long on device (scalar error pull).
     from music_synthesis_tpu.infer.generate import generate_long
     from music_synthesis_tpu.infer.stream import StreamingSynth
 
@@ -105,11 +102,12 @@ def main() -> None:
     check("streaming == generate_long (compiled)", err < 1e-3,
           f"(max err {err:.2e}, {time.perf_counter() - t0:.0f}s)")
 
-    # 4b. Griffin-Lim inversion compiles and reconstructs on device.
+    # 4. Griffin-Lim inversion compiles and reconstructs on device.
     from music_synthesis_tpu.losses.stft_loss import multires_stft_loss
     from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
     from music_synthesis_tpu.ops.griffin_lim import invert_log_mel
 
+    cfg = E2E_INFERENCE.frontend
     t = jnp.arange(44032) / cfg.sample_rate
     tone = (0.3 * jnp.sin(2 * jnp.pi * 440 * t))[None]
     t0 = time.perf_counter()
@@ -124,11 +122,12 @@ def main() -> None:
     # Calibration (round 4): this pure-tone check measured 0.678 on CPU
     # but 1.693 on TPU under default matmul precision — bf16 MXU error in
     # the mel-pinv + per-iteration irDFT GEMMs, scored by the loss's
-    # log-magnitude term in the tone's empty bins. Both GEMMs now run at
-    # precision="highest" (ops/griffin_lim.py), which should bring TPU to
-    # ~0.68; the bound stays a loose 1.2 until a hardware rerun confirms.
-    # White-noise anchor ~6.6. tests/test_griffin_lim.py pins the CPU
-    # value so CI catches miscalibration first.
+    # log-magnitude term in the tone's empty bins. Both GEMMs run at
+    # precision="highest" (ops/griffin_lim.py); the round-5 hardware rerun
+    # confirmed 0.686 on the compiled path (runs/verify_tpu_r05.txt). The
+    # bound stays a loose 1.2. White-noise anchor ~6.6.
+    # tests/test_griffin_lim.py pins the CPU value so CI catches
+    # miscalibration first.
     check("griffin-lim inversion (compiled)", 0 < d < 1.2,
           f"(stft dist {d:.3f}, {time.perf_counter() - t0:.0f}s)")
 
