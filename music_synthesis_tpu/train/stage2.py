@@ -36,7 +36,8 @@ from music_synthesis_tpu.models.vocoder import Vocoder
 from music_synthesis_tpu.ops.frontend import log_mel_for_vocoder
 from music_synthesis_tpu.train.state import GANState, make_optimizer
 
-__all__ = ["make_models", "make_train_state", "train_step", "train_step_impl", "conditioning_mel"]
+__all__ = ["make_models", "make_train_state", "train_step", "train_step_impl",
+           "train_step_many", "conditioning_mel"]
 
 
 def make_models(cfg: PipelineConfig):
@@ -319,3 +320,26 @@ def train_step_impl(
 
 
 train_step = jax.jit(train_step_impl, static_argnums=0, donate_argnums=1)
+
+
+def train_step_many_impl(cfg: PipelineConfig, state: GANState, wavs):
+    """K chained training steps in ONE dispatch: ``wavs [K, B, L]``.
+
+    Numerically identical to K sequential ``train_step`` calls — every
+    schedule (instance-noise decay, G warmup, EMA) reads ``state.step``
+    inside the scanned body. Exists because the per-step dispatch through
+    the axon tunnel costs ~40 ms of RTT that the chip never sees: the
+    round-5 400k flagship run measured 75 ms/wall-step with per-step
+    dispatch vs the 32 ms/step the same program sustains inside a scan
+    (bench.py methodology). Returns the LAST step's metrics — what a
+    per-step loop would log at the same boundary.
+    """
+    def body(st, wav):
+        return train_step_impl(cfg, st, wav)
+
+    state, ms = jax.lax.scan(body, state, wavs)
+    return state, jax.tree.map(lambda x: x[-1], ms)
+
+
+train_step_many = jax.jit(
+    train_step_many_impl, static_argnums=0, donate_argnums=1)

@@ -119,6 +119,13 @@ def main() -> None:
                          "instead of training a collapsed GAN to the end")
     ap.add_argument("--prefetch", type=int, default=2,
                     help="host-side batch prefetch depth (0 = synchronous)")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="chain K training steps in one device dispatch "
+                         "(lax.scan; numerically exact). Amortizes the "
+                         "~40 ms/step tunnel RTT the per-step loop pays "
+                         "(measured 75 -> ~36 ms/wall-step at K=8). "
+                         "Requires K | log/ckpt/audio cadences and "
+                         "--mesh 1.")
     ap.add_argument("--ram-budget-mb", type=int, default=0,
                     help="decoded-corpus RAM budget; 0 = load fully in memory")
     args = ap.parse_args()
@@ -316,17 +323,44 @@ def main() -> None:
         from music_synthesis_tpu.train.guard import CollapseGuard
         guard = CollapseGuard()
     guard_reason = None
-    make_batch = lambda step: prep(
-        ds.sample_batch(step, cfg.train.batch_size, cfg.train.seed))
+    k_disp = max(1, args.steps_per_dispatch)
+    if k_disp > 1:
+        assert args.mesh == 1, "--steps-per-dispatch requires --mesh 1"
+        for name, every in (("log", args.log_every),
+                            ("ckpt", args.ckpt_every),
+                            ("audio", args.audio_every)):
+            assert every % k_disp == 0, \
+                f"--{name}-every must be a multiple of --steps-per-dispatch"
+        assert start_step % k_disp == 0 and args.steps % k_disp == 0, \
+            "start/total steps must be multiples of --steps-per-dispatch"
+        step_fn = lambda s, w: stage2.train_step_many(cfg, s, w)
+
+    def make_batch(cs):
+        if k_disp == 1:
+            return prep(ds.sample_batch(
+                cs, cfg.train.batch_size, cfg.train.seed))
+        # One [K, B, L] chunk: the SAME per-step samples a stride-1 loop
+        # would draw, so resume/replay order is unchanged.
+        return prep(np.stack([
+            np.asarray(ds.sample_batch(
+                cs + i, cfg.train.batch_size, cfg.train.seed))
+            for i in range(k_disp)
+        ]))
+
+    n_chunks = (args.steps - start_step) // k_disp
     if args.prefetch > 0:
-        batches = Prefetcher(make_batch, start_step, args.steps,
-                             depth=args.prefetch)
+        pref = Prefetcher(
+            lambda ci: make_batch(start_step + ci * k_disp),
+            0, n_chunks, depth=args.prefetch)
+        batches = ((start_step + ci * k_disp, b) for ci, b in pref)
     else:
-        batches = ((s, make_batch(s)) for s in range(start_step, args.steps))
+        batches = ((cs, make_batch(cs))
+                   for cs in range(start_step, args.steps, k_disp))
     t_start = time.perf_counter()
-    for step, wav in batches:
+    for cs, wav in batches:
         state, metrics = step_fn(state, wav)
-        if (step + 1) % args.log_every == 0 or step == start_step:
+        step = cs + k_disp - 1  # last step covered by this dispatch
+        if (step + 1) % args.log_every == 0 or cs == start_step:
             logger.log(step + 1, metrics)
             if guard is not None:
                 guard_reason = guard.update(
