@@ -305,13 +305,16 @@ def bench_stage2_step(results: dict, variants: dict | None = None,
             log(f"[{name}] cost_analysis unavailable: {e}")
 
 
-def bench_frontend_cpu_clip(results: dict, n_iters: int = 9,
+def bench_frontend_cpu_clip(results: dict, n_iters: int = 21,
                             seconds: float = 30.0) -> None:
     """BASELINE config 1: log-mel extraction of one 22.05 kHz clip on CPU.
 
     Runs the pure-JAX oracle front-end on the host CPU backend (the config
     says CPU explicitly); timing is plain wall-clock around
-    block_until_ready — there is no dispatch tunnel on the CPU path.
+    block_until_ready — there is no dispatch tunnel on the CPU path, but
+    the 1-core host is shared, so take the min over enough repeats that
+    at least one lands on a quiet core (the committed value doubled
+    28.7 -> 57.9 ms across two round-4 runs under host load — advisor r4).
     """
     from music_synthesis_tpu.config import PipelineConfig
     from music_synthesis_tpu.ops import frontend
@@ -338,10 +341,13 @@ def bench_frontend_cpu_clip(results: dict, n_iters: int = 9,
         f"({seconds / best:.0f}x realtime on host CPU)")
 
 
-def bench_stage1_fwd_loss(results: dict, n_iters: int = 101) -> None:
+def bench_stage1_fwd_loss(results: dict, n_iters: int = 5001) -> None:
     """BASELINE config 2: stage-1 generator forward + hinge losses on one
     batch. Device-loop methodology (fresh latents per scan iteration,
-    scalar checksum out, n=1 dispatch overhead subtracted)."""
+    scalar checksum out, n=1 dispatch overhead subtracted). n_iters sized
+    for the ±30 ms tunnel-RTT noise band: at ~0.012 ms/batch, 101
+    iterations gave ~1 ms of signal and the committed value wandered
+    0.011..0.038 across rounds (advisor r4); 5001 gives ~60 ms."""
     from music_synthesis_tpu.config import PipelineConfig
     from music_synthesis_tpu.train import stage1
 
