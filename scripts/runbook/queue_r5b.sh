@@ -17,10 +17,19 @@ P=${PYTHON:-/opt/venv/bin/python}
 Q=/tmp/queue_r5b.log
 echo "queue r5b start $(date -u)" >> "$Q"
 
-# 1. Wait for the training run to finish (pid recorded at launch).
-if [ -f /tmp/train.pid ]; then
-  while kill -0 "$(cat /tmp/train.pid)" 2>/dev/null; do sleep 30; done
-fi
+# 1. Wait for the training run to finish. The stall watchdog may kill
+#    and restart the training pid, so "dead" only counts after 3 minutes
+#    of continuous death — otherwise this queue would race a restart and
+#    run the eval against a fresh TPU client mid-recovery.
+DEAD=0
+while [ "$DEAD" -lt 6 ]; do
+  if kill -0 "$(cat /tmp/train.pid 2>/dev/null)" 2>/dev/null; then
+    DEAD=0
+  else
+    DEAD=$((DEAD + 1))
+  fi
+  sleep 30
+done
 echo "training done $(date -u)" >> "$Q"
 
 evaljob() { # evaljob <rundir>
