@@ -20,6 +20,7 @@ def _vocoder_params():
     return stage2.make_train_state(TINY, KEY).g_params
 
 
+@pytest.mark.slow
 def test_vocoder_artifact_roundtrip(tmp_path):
     params = _vocoder_params()
     exported, meta = deploy.vocoder_artifact(

@@ -1,5 +1,6 @@
 """Driver contract tests: entry() compiles, dryrun_multichip(8) executes."""
 
+import pytest
 import sys
 from pathlib import Path
 
@@ -19,5 +20,6 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)

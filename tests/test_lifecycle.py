@@ -7,6 +7,7 @@ from corpus to production endpoint.
 """
 
 import importlib.util
+import pytest
 import json
 import sys
 from pathlib import Path
@@ -26,6 +27,7 @@ def _run_script(name, argv, monkeypatch):
     mod.main()
 
 
+@pytest.mark.slow
 def test_train_export_serve(tmp_path, monkeypatch):
     run = tmp_path / "run"
     zoo_root = tmp_path / "zoo"

@@ -111,6 +111,7 @@ def test_specgan_shapes():
     assert len(feats) == len(cfg.disc_channels)
 
 
+@pytest.mark.slow
 def test_gradients_flow_everywhere():
     """Every generator parameter receives nonzero gradient through D."""
     cfg = TINY

@@ -12,6 +12,7 @@ the initialize branch, the per-process feeding, and the cross-process
 gradient reduction execute and agree.
 """
 
+import pytest
 import re
 import socket
 import subprocess
@@ -78,6 +79,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_dp_step(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo=str(REPO)))

@@ -8,6 +8,7 @@ phase corruption that leaves magnitudes (and thus the judged metric)
 nearly fixed, smooth finite gradients, and DP-exactness under shard_map.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +74,7 @@ def test_gradient_finite_and_nonzero():
     assert np.all(np.isfinite(g0))
 
 
+@pytest.mark.slow
 def test_shard_map_dp_exact():
     """psum'd num/den + N-times grad pre-scale == single-device value/grad."""
     kx, ky = jax.random.split(jax.random.PRNGKey(7))

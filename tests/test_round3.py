@@ -187,6 +187,7 @@ def _tiny_stage1_cfg(**train_kw):
     )
 
 
+@pytest.mark.slow
 def test_stage1_r1_penalty_runs_and_shapes_d_grads():
     """R1 adds a positive penalty metric and changes the D update."""
     cfg0 = _tiny_stage1_cfg()
@@ -340,6 +341,7 @@ def test_mrd_f_fold_parity():
     )
 
 
+@pytest.mark.slow
 def test_stage2_concat_disc_batch_parity():
     """concat_disc_batch runs one D forward on [real; fake]; the resulting
     step must match the two-forward step to float tolerance."""
@@ -440,6 +442,7 @@ def test_stage1_flux_loss_knob():
     np.testing.assert_allclose(float(m1["g_loss"]), rhs, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_stage2_r1_and_instance_noise():
     """Stage-2 stabilizers (ported for the measured iSTFT-head collapse):
     with r1_gamma and d_input_noise on, the step runs with finite losses,

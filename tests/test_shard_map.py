@@ -1,5 +1,6 @@
 """shard_map DP + sequence-sharded vocoding tests (SURVEY.md §5.7, §5.8)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +32,7 @@ CFG = PipelineConfig(
 )
 
 
+@pytest.mark.slow
 def test_shardmap_stage2_matches_single_device():
     """Explicit-pmean DP == single-device step (stage 2 has no rng)."""
     mesh = make_mesh((8,), ("data",))

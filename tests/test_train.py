@@ -1,5 +1,6 @@
 """Training integration tests (SURVEY.md §4.3): smoke runs, checkpoint resume."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -146,6 +147,7 @@ def test_checkpoint_restore_bitwise(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stage2_trains_with_istft_head():
     """The fast iSTFT-head vocoder trains under the same GAN recipe."""
     import dataclasses
@@ -166,6 +168,7 @@ def test_stage2_trains_with_istft_head():
     assert float(m["g_grad_norm"]) > 0
 
 
+@pytest.mark.slow
 def test_stage2_istft_stabilized_production_combo():
     """The round-4 stabilized iSTFT recipe — istft head + G-warmup + R1 +
     decaying instance noise + dense-groups/F-fold relayouts + concat-D —
@@ -225,6 +228,7 @@ def test_grad_clip_norm_knob():
     assert np.isfinite(np.asarray(updates["w"])).all()
 
 
+@pytest.mark.slow
 def test_stage2_remat_generator_matches_baseline():
     """remat changes memory, not math: one step equal with/without."""
     import dataclasses

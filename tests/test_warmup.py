@@ -3,6 +3,7 @@ discriminator is frozen and G trains on the STFT loss alone; at warmup end
 the adversarial game starts — all inside ONE compiled step program (the gate
 is traced on state.step, so the phase boundary causes no recompile)."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -27,6 +28,7 @@ def _norm(tree):
     )
 
 
+@pytest.mark.slow
 def test_warmup_freezes_d_and_skips_adv():
     cfg = _cfg(warmup=2)
     state = stage2.make_train_state(cfg, KEY)
@@ -59,6 +61,7 @@ def test_warmup_freezes_d_and_skips_adv():
     assert np.isfinite(m["d_loss"]) and np.isfinite(m["g_adv"])
 
 
+@pytest.mark.slow
 def test_warmup_g_grads_are_pure_stft():
     """During warmup the G update must be exactly the λ_stft·stft gradient:
     compare against a hand-built gradient with adv/FM terms removed."""
