@@ -25,8 +25,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "chunk_sharding",
     "replicated",
     "shard_batch",
+    "shard_chunk",
     "replicate_state",
 ]
 
@@ -47,6 +49,20 @@ def make_mesh(
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Leading (batch) dim sharded over ``axis``, rest replicated."""
     return NamedSharding(mesh, P(axis))
+
+
+def chunk_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """``[K, B, ...]`` step-chunk: batch dim (axis 1) sharded, K replicated.
+
+    The layout ``train_step_many``-style K-step dispatch chains use under
+    data parallelism (scan over K inside the program, shard over B)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def shard_chunk(chunk: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device_put a ``[K, B, ...]`` chunk with dim 1 sharded over ``axis``."""
+    sh = chunk_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), chunk)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -35,7 +35,8 @@ try:  # JAX >= 0.4.35 exposes shard_map at the top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["make_shardmap_stage2_step", "make_shardmap_stage1_step"]
+__all__ = ["make_shardmap_stage2_step", "make_shardmap_stage1_step",
+           "make_shardmap_stage2_many"]
 
 
 def _make(step_impl: Callable, cfg: PipelineConfig, mesh: Mesh,
@@ -63,3 +64,34 @@ def make_shardmap_stage2_step(cfg: PipelineConfig, mesh: Mesh) -> Callable:
 def make_shardmap_stage1_step(cfg: PipelineConfig, mesh: Mesh) -> Callable:
     """Stage-1 twin of :func:`make_shardmap_stage2_step` (mel-batch input)."""
     return _make(stage1.train_step_impl, cfg, mesh)
+
+
+def make_shardmap_stage2_many(cfg: PipelineConfig, mesh: Mesh,
+                              axis: str = "data") -> Callable:
+    """(state, wavs[K, B, L]) -> (state, last-step metrics): K exact
+    training steps scanned INSIDE the shard_map program, batch dim sharded.
+
+    The distributed twin of ``stage2.train_step_many``: on a real pod the
+    per-step host dispatch costs the same round trip the single-chip dev
+    tunnel made visible (DESIGN.md §22), so the K-step chain belongs in
+    the DP path too. Shard the chunk with ``parallel.mesh.shard_chunk``
+    (``P(None, 'data')`` — K replicated, B sharded).
+    """
+    per_device = functools.partial(stage2.train_step_impl, cfg,
+                                   axis_name=axis)
+
+    def body(state, wavs):
+        def one(st, wav):
+            return per_device(st, wav)
+
+        state, ms = jax.lax.scan(one, state, wavs)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    sm = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sm, donate_argnums=0)

@@ -122,10 +122,11 @@ def main() -> None:
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="chain K training steps in one device dispatch "
                          "(lax.scan; numerically exact). Amortizes the "
-                         "~40 ms/step tunnel RTT the per-step loop pays "
-                         "(measured 75 -> ~36 ms/wall-step at K=8). "
-                         "Requires K | log/ckpt/audio cadences and "
-                         "--mesh 1.")
+                         "~40 ms/step dispatch RTT the per-step loop pays "
+                         "(measured 75 -> ~40 ms/wall-step at K=8). "
+                         "Requires K | log/ckpt/audio cadences; with "
+                         "--mesh > 1 use --dp shard_map (the chain scans "
+                         "inside the shard_map program).")
     ap.add_argument("--ram-budget-mb", type=int, default=0,
                     help="decoded-corpus RAM budget; 0 = load fully in memory")
     args = ap.parse_args()
@@ -325,7 +326,6 @@ def main() -> None:
     guard_reason = None
     k_disp = max(1, args.steps_per_dispatch)
     if k_disp > 1:
-        assert args.mesh == 1, "--steps-per-dispatch requires --mesh 1"
         for name, every in (("log", args.log_every),
                             ("ckpt", args.ckpt_every),
                             ("audio", args.audio_every)):
@@ -333,7 +333,17 @@ def main() -> None:
                 f"--{name}-every must be a multiple of --steps-per-dispatch"
         assert start_step % k_disp == 0 and args.steps % k_disp == 0, \
             "start/total steps must be multiples of --steps-per-dispatch"
-        step_fn = lambda s, w: stage2.train_step_many(cfg, s, w)
+        if args.mesh > 1:
+            assert args.dp == "shard_map", \
+                "--steps-per-dispatch with --mesh needs --dp shard_map"
+            from music_synthesis_tpu.parallel.mesh import shard_chunk
+            from music_synthesis_tpu.parallel.shard_map_dp import (
+                make_shardmap_stage2_many,
+            )
+            step_fn = make_shardmap_stage2_many(cfg, mesh)
+            prep = lambda x: shard_chunk(jnp.asarray(x), mesh)
+        else:
+            step_fn = lambda s, w: stage2.train_step_many(cfg, s, w)
 
     def make_batch(cs):
         if k_disp == 1:

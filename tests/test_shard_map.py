@@ -146,3 +146,58 @@ def test_seqshard_vocode_matches_direct_interior():
     # Interior: away from the two global edges by one halo.
     mid = slice(rf * hop, -rf * hop)
     np.testing.assert_allclose(sharded[:, mid], direct[:, mid], atol=2e-5)
+
+@pytest.mark.slow
+def test_shardmap_stage2_many_matches_chained_single_device():
+    """K-step dispatch chain under shard_map DP: the scanned program must
+    reproduce the per-step shard_map trajectory exactly, and the
+    single-device trajectory up to the known DP grad-norm diagnostic
+    deviation (DESIGN.md §22).
+
+    Measured while writing this test: at step 2 BOTH shard_map paths
+    (per-step and scanned) report g_grad_norm 2.3% off the single-device
+    value — the documented DP spectral-convergence gradient-scale
+    approximation; losses match to 4e-7 and params to 5e-7. Grad/update
+    norms are therefore compared between the two shard_map paths (same
+    approximation, must agree), not against single-device.
+    """
+    from music_synthesis_tpu.parallel.mesh import shard_chunk
+    from music_synthesis_tpu.parallel.shard_map_dp import (
+        make_shardmap_stage2_many,
+    )
+
+    mesh = make_mesh((8,), ("data",))
+    k = 2
+    wavs = 0.5 * jnp.tanh(
+        jax.random.normal(jax.random.PRNGKey(1), (k, 8, 2048)))
+
+    ref_state = stage2.make_train_state(CFG, KEY)
+    for i in range(k):
+        ref_state, ref_metrics = stage2.train_step(CFG, ref_state, wavs[i])
+
+    ps_state = replicate_state(stage2.make_train_state(CFG, KEY), mesh)
+    ps_step = make_shardmap_stage2_step(CFG, mesh)
+    for i in range(k):
+        ps_state, ps_metrics = ps_step(ps_state, shard_batch(wavs[i], mesh))
+
+    sm_state = replicate_state(stage2.make_train_state(CFG, KEY), mesh)
+    sm_step = make_shardmap_stage2_many(CFG, mesh)
+    sm_state, sm_metrics = sm_step(sm_state, shard_chunk(wavs, mesh))
+
+    norms = {"d_grad_norm", "g_grad_norm", "d_update_norm", "g_update_norm"}
+    for key in ref_metrics:
+        # scanned DP == per-step DP (same program semantics, all metrics)
+        np.testing.assert_allclose(
+            float(ps_metrics[key]), float(sm_metrics[key]),
+            rtol=2e-4, atol=1e-5, err_msg=key)
+        if key not in norms:
+            # DP == single-device on every loss/ratio metric
+            np.testing.assert_allclose(
+                float(ref_metrics[key]), float(sm_metrics[key]),
+                rtol=2e-4, atol=1e-5, err_msg=key)
+    for a, b in zip(
+        jax.tree.leaves(ref_state.g_params),
+        jax.tree.leaves(sm_state.g_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
