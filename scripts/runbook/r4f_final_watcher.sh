@@ -1,4 +1,8 @@
 #!/bin/bash
+# RETIRED (round 5): this watcher could commit half-written artifacts from
+# tree-killed jobs with no truncation marker (advisor r4). The round-5
+# queues gate commits on artifact parsing / ALL PASS instead
+# (queue_r5.sh, queue_r5b.sh); kept only as a historical record.
 # Session-F final watcher: after the deadline guard fires (13:50 UTC —
 # tree-kills the queue so the driver's end-of-round bench gets a free
 # tunnel), commit whatever run artifacts the killed jobs left behind.
