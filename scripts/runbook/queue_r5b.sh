@@ -6,7 +6,9 @@
 #   3. short phase fine-tune: +20k steps with --lambda-phase 15 from the
 #      400k checkpoint (DESIGN.md §21: the measured cheap follow-up on
 #      the jitter frontier — anneal the proxy in at the end instead of
-#      paying its distance tax for the whole run);
+#      paying its distance tax for the whole run). OUTCOME (ran 19:08
+#      UTC): REFUTED — dist 1.462 -> 1.552, jitter 1.635 -> 1.648
+#      (DESIGN.md §22);
 #   4. eval the fine-tune; commit;
 #   5. export the better checkpoint to the zoo (decided by the driver of
 #      this script — export is NOT automatic).
